@@ -1,0 +1,463 @@
+"""
+Scene engine: per-(target, observer, time) precomputation and the batched
+geometry functions that feed the TPU pixel pipeline.
+
+This module replaces the CSPICE calls made throughout ``Body`` in the
+reference (``subpnt`` body.py:538, ``subslr`` body.py:559, ``sincpt``
+body.py:1010, ``illumf`` body.py:1925, ``spkcpt`` body.py:2833, ``et2lst``
+body.py:2369, and the per-point ``pxfrm2`` light-time retargeting at
+body.py:917-1006). Design inversion vs the reference: instead of one scalar
+FFI call per point, a :class:`SceneEngine` exposes *batched* jitted JAX
+functions over arrays of points; engines are cached per configuration so
+compiled programs are reused across Body instances and times.
+
+Internally everything works in:
+
+- "obsvec": J2000 rectangular coordinates centred on the observer (the
+  reference's canonical internal representation, body.py:876-887)
+- "targvec": body-fixed rectangular coordinates centred on the target
+
+with east-positive longitudes in radians (API layers apply planetographic
+sign conventions).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable
+
+import numpy as np
+
+from .ephemeris import CLIGHT, SSB, Ephemeris, parse_abcorr, stelab
+from .frames import BodyFrameModel
+from . import geometry as geom
+
+
+class SceneEngine:
+    """
+    Batched geometry engine for one (target, observer, frames, abcorr,
+    illumination source) configuration. ``et`` is always an argument of the
+    compiled functions, so one engine (and its compiled XLA programs)
+    serves every observation epoch of that configuration.
+    """
+
+    def __init__(
+        self,
+        ephemeris: Ephemeris,
+        *,
+        target_id: int,
+        observer_id: int,
+        illumination_source_id: int,
+        radii: tuple[float, float, float],
+        frame_model: BodyFrameModel,
+        abcorr: str = 'CN',
+        et_ref: float = 0.0,
+    ) -> None:
+        self.ephemeris = ephemeris
+        self.target_id = target_id
+        self.observer_id = observer_id
+        self.illumination_source_id = illumination_source_id
+        self.radii = tuple(float(r) for r in radii)
+        self.r_eq = self.radii[0]
+        self.r_polar = self.radii[2]
+        self.flattening = (self.r_eq - self.r_polar) / self.r_eq
+        self.frame_model = frame_model
+        self.abcorr = str(abcorr).strip().upper()
+        self.corr = parse_abcorr(self.abcorr)
+        self.et_ref = float(et_ref)
+        self._jit_cache: dict[str, Callable] = {}
+
+        # Chain-frozen SSB position functions (pure JAX in et)
+        self._pos_t = ephemeris.position_fn(target_id, SSB, et_ref)
+        self._pos_o = ephemeris.position_fn(observer_id, SSB, et_ref)
+        if ephemeris.has_data_for(illumination_source_id, et_ref):
+            self._pos_s = ephemeris.position_fn(
+                illumination_source_id, SSB, et_ref
+            )
+        else:
+            self._pos_s = None
+
+    # ------------------------------------------------------------------
+    # jit helper
+    # ------------------------------------------------------------------
+    def _jitted(self, name: str, fn: Callable) -> Callable:
+        import jax
+
+        cached = self._jit_cache.get(name)
+        if cached is None:
+            cached = jax.jit(fn)
+            self._jit_cache[name] = cached
+        return cached
+
+    # ------------------------------------------------------------------
+    # Core building blocks (traced code - not public API)
+    # ------------------------------------------------------------------
+    def _apparent_target_center(self, et):
+        """Apparent position of target centre from observer + light time."""
+        import jax.numpy as jnp
+
+        obs = self._pos_o(et)
+        obs_pos, obs_vel = obs[..., :3], obs[..., 3:]
+        lt = jnp.zeros(jnp.shape(et), dtype=jnp.float64)
+        n_iter = 3 if self.corr.converged else 1
+        if self.corr.geometric:
+            n_iter = 0
+        targ = None
+        for _ in range(n_iter + 1):
+            targ = self._pos_t(et - lt)
+            r = targ[..., :3] - obs_pos
+            lt = jnp.linalg.norm(r, axis=-1) / CLIGHT
+        pos = targ[..., :3] - obs_pos
+        if self.corr.stellar:
+            pos = stelab(pos, obs_vel / CLIGHT)
+        return pos, lt, obs_pos, obs_vel
+
+    def _ray_to_geometric(self, d, obs_vel):
+        """
+        Convert an apparent ray direction to the geometric direction by
+        removing stellar aberration (no-op unless '+S' is active).
+        """
+        if not self.corr.stellar:
+            return d
+        return stelab(d, -obs_vel / CLIGHT)
+
+    def _sincpt_core(self, et, obsvec_norm, lt0):
+        """
+        Surface intercept of rays from the observer (``sincpt`` equivalent):
+        per-ray converged-Newtonian light time, target position and frame
+        orientation re-evaluated at each ray's emission epoch.
+
+        Returns ``(targvec, trgepc, found)``; targvec is NaN where the ray
+        misses the ellipsoid.
+        """
+        import jax.numpy as jnp
+
+        radii = jnp.asarray(self.radii)
+        obs = self._pos_o(et)
+        obs_pos, obs_vel = obs[..., :3], obs[..., 3:]
+        d = self._ray_to_geometric(obsvec_norm, obs_vel)
+
+        lt = jnp.broadcast_to(lt0, d.shape[:-1])
+        n_iter = 1 if self.corr.geometric else (4 if self.corr.converged else 1)
+        spoint = None
+        found = None
+        s = None
+        for _ in range(n_iter):
+            tau = et - lt
+            targ_pos = self._pos_t(tau)[..., :3] - obs_pos
+            rot = self.frame_model.j2000_to_bodyfixed_matrix(tau)
+            o_bf = -jnp.einsum('...ij,...j->...i', rot, targ_pos)
+            d_bf = jnp.einsum('...ij,...j->...i', rot, d)
+            s, found = geom.ray_ellipsoid_intercept(o_bf, d_bf, radii)
+            spoint = o_bf + s[..., None] * d_bf
+            dist = jnp.where(found, s, lt0 * CLIGHT)
+            lt = dist / CLIGHT
+        trgepc = et - lt
+        spoint = jnp.where(found[..., None], spoint, jnp.nan)
+        return spoint, trgepc, found
+
+    def _illumf_core(self, et, targvec):
+        """
+        Illumination angles + visibility/lit flags for body-fixed surface
+        points (``illumf`` equivalent). Per-point light time epochs for the
+        observer ray and for the sun direction.
+        """
+        import jax.numpy as jnp
+
+        radii = jnp.asarray(self.radii)
+        obs = self._pos_o(et)
+        obs_pos = obs[..., :3]
+        n_iter = 4 if self.corr.converged else 1
+        if self.corr.geometric:
+            n_iter = 1
+
+        # Light time observer -> surface point (reception)
+        lt = jnp.zeros(targvec.shape[:-1], dtype=jnp.float64)
+        srfvec_j2000 = None
+        tau = None
+        for _ in range(n_iter):
+            tau = et - lt
+            targ_pos = self._pos_t(tau)[..., :3] - obs_pos
+            m_bf2j = self.frame_model.bodyfixed_to_j2000_matrix(tau)
+            point_j2000 = targ_pos + jnp.einsum(
+                '...ij,...j->...i', m_bf2j, targvec
+            )
+            srfvec_j2000 = point_j2000
+            lt = jnp.linalg.norm(point_j2000, axis=-1) / CLIGHT
+            if self.corr.geometric:
+                break
+
+        rot = self.frame_model.j2000_to_bodyfixed_matrix(tau)
+        srfvec_bf = jnp.einsum('...ij,...j->...i', rot, srfvec_j2000)
+
+        # Apparent sun direction from the surface point at epoch tau
+        if self._pos_s is not None:
+            point_ssb = self._pos_t(tau)[..., :3] + jnp.einsum(
+                '...ij,...j->...i',
+                self.frame_model.bodyfixed_to_j2000_matrix(tau),
+                targvec,
+            )
+            lt_s = jnp.zeros(targvec.shape[:-1], dtype=jnp.float64)
+            sun_dir_j2000 = None
+            for _ in range(n_iter):
+                sun_pos = self._pos_s(tau - lt_s)[..., :3]
+                sun_dir_j2000 = sun_pos - point_ssb
+                lt_s = jnp.linalg.norm(sun_dir_j2000, axis=-1) / CLIGHT
+            sun_dir_bf = jnp.einsum('...ij,...j->...i', rot, sun_dir_j2000)
+        else:
+            sun_dir_bf = jnp.full_like(targvec, jnp.nan)
+
+        normal = geom.surface_normal(targvec, radii)
+        phase = geom.vector_separation(sun_dir_bf, -srfvec_bf)
+        incidence = geom.vector_separation(normal, sun_dir_bf)
+        emission = geom.vector_separation(normal, -srfvec_bf)
+        visibl = jnp.sum(normal * (-srfvec_bf), axis=-1) > 0.0
+        lit = jnp.sum(normal * sun_dir_bf, axis=-1) > 0.0
+        return phase, incidence, emission, visibl, lit
+
+    # NOTE: _pos_t/_pos_o/_pos_s are SSB-relative position functions
+    # (observer argument SSB), so the arithmetic above is consistent.
+
+    def _spkcpt_core(self, et, targvec):
+        """
+        State of constant body-fixed points relative to the observer
+        (``spkcpt`` with refloc='OBSERVER'): per-point light-time corrected
+        position and velocity (including the frame-rotation contribution and
+        the d(lt)/d(et) factor), plus light time.
+        """
+        import jax
+
+        import jax.numpy as jnp
+
+        obs = self._pos_o(et)
+        obs_pos, obs_vel = obs[..., :3], obs[..., 3:]
+        n_iter = 4 if self.corr.converged else 1
+        if self.corr.geometric:
+            n_iter = 1
+
+        def point_state_ssb(tau):
+            """Inertial (SSB) state of the body-fixed points at time tau."""
+            targ = self._pos_t(tau)
+
+            def pos_of(t):
+                m = self.frame_model.bodyfixed_to_j2000_matrix(t)
+                return jnp.einsum('...ij,...j->...i', m, targvec)
+
+            off, doff = jax.jvp(pos_of, (tau,), (jnp.ones_like(tau),))
+            pos = targ[..., :3] + off
+            vel = targ[..., 3:] + doff
+            return pos, vel
+
+        lt = jnp.zeros(targvec.shape[:-1], dtype=jnp.float64)
+        for _ in range(n_iter):
+            tau = et - lt
+            p_pos, p_vel = point_state_ssb(tau)
+            rel = p_pos - obs_pos
+            lt = jnp.linalg.norm(rel, axis=-1) / CLIGHT
+        tau = et - lt
+        p_pos, p_vel = point_state_ssb(tau)
+        rel = p_pos - obs_pos
+        dist = jnp.linalg.norm(rel, axis=-1)
+        rhat = rel / dist[..., None]
+        if self.corr.geometric:
+            vel = p_vel - obs_vel
+        else:
+            rv_t = jnp.sum(rhat * p_vel, axis=-1)
+            rv_o = jnp.sum(rhat * obs_vel, axis=-1)
+            dltdt = (rv_t - rv_o) / (CLIGHT + rv_t)
+            vel = p_vel * (1.0 - dltdt)[..., None] - obs_vel
+        if self.corr.stellar:
+            rel = stelab(rel, obs_vel / CLIGHT)
+        return jnp.concatenate([rel, vel], axis=-1), dist / CLIGHT
+
+    # ------------------------------------------------------------------
+    # Reference "model A" transforms: anchored at the sub-observer point
+    # (exact mirrors of body.py:917-1006)
+    # ------------------------------------------------------------------
+    def _targvec2obsvec_core(self, targvec, sub):
+        import jax.numpy as jnp
+
+        off = targvec - sub['subpoint_targvec']
+        dist_offset = (
+            jnp.linalg.norm(sub['subpoint_rayvec'] + off, axis=-1)
+            - sub['subpoint_distance']
+        )
+        tau = sub['subpoint_et'] - dist_offset / CLIGHT
+        m = self.frame_model.bodyfixed_to_j2000_matrix(tau)
+        return sub['subpoint_obsvec'] + jnp.einsum('...ij,...j->...i', m, off)
+
+    def _obsvec2targvec_core(self, obsvec, sub):
+        import jax.numpy as jnp
+
+        off = obsvec - sub['subpoint_obsvec']
+        dist_offset = (
+            jnp.linalg.norm(-sub['subpoint_rayvec'] + off, axis=-1)
+            - sub['subpoint_distance']
+        )
+        tau = sub['subpoint_et'] - dist_offset / CLIGHT
+        m = self.frame_model.j2000_to_bodyfixed_matrix(tau)
+        return sub['subpoint_targvec'] + jnp.einsum('...ij,...j->...i', m, off)
+
+    # ------------------------------------------------------------------
+    # Scene constants (Body.__init__ equivalent, one jitted program)
+    # ------------------------------------------------------------------
+    def scene_constants(self, et: float) -> dict:
+        """
+        All per-scene device constants: apparent target centre, sub-observer
+        and sub-solar points, ring plane. One jitted program per engine.
+        """
+        fn = self._jitted('scene_constants', self._scene_constants_impl)
+        out = fn(et)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _scene_constants_impl(self, et):
+        import jax.numpy as jnp
+
+        radii = jnp.asarray(self.radii)
+        target_obsvec, target_lt, obs_pos, obs_vel = (
+            self._apparent_target_center(et)
+        )
+
+        # Sub-observer point (method INTERCEPT/ELLIPSOID): the ray is
+        # re-aimed at the target centre's position at each refined epoch
+        # (this is CSPICE subpnt's convention - it differs from holding the
+        # apparent-centre ray fixed by ~the target's transverse motion over
+        # r/c, i.e. a few km on the surface).
+        n_iter = 1 if self.corr.geometric else (4 if self.corr.converged else 1)
+        lt = target_lt
+        sub_targvec = None
+        o_bf = None
+        for _ in range(n_iter):
+            tau = et - lt
+            targ_pos = self._pos_t(tau)[..., :3] - obs_pos
+            if self.corr.stellar:
+                # subpnt works entirely in apparent geometry: the target is
+                # placed at its stellar-aberration-corrected position and
+                # the ray aims at that apparent centre.
+                targ_pos = stelab(targ_pos, obs_vel / CLIGHT)
+            d = targ_pos / jnp.linalg.norm(targ_pos, axis=-1, keepdims=True)
+            rot = self.frame_model.j2000_to_bodyfixed_matrix(tau)
+            o_bf = -jnp.einsum('...ij,...j->...i', rot, targ_pos)
+            d_bf = jnp.einsum('...ij,...j->...i', rot, d)
+            s, _found = geom.ray_ellipsoid_intercept(o_bf, d_bf, radii)
+            sub_targvec = o_bf + s[..., None] * d_bf
+            lt = s / CLIGHT
+        sub_et = et - lt
+        subpoint_rayvec = sub_targvec - o_bf  # observer -> subpoint, bf frame
+        subpoint_distance = jnp.linalg.norm(subpoint_rayvec, axis=-1)
+        m_sub = self.frame_model.bodyfixed_to_j2000_matrix(sub_et)
+        subpoint_obsvec = jnp.einsum('...ij,...j->...i', m_sub, subpoint_rayvec)
+
+        out = dict(
+            target_obsvec=target_obsvec,
+            target_lt=target_lt,
+            obs_pos_ssb=obs_pos,
+            obs_vel_ssb=obs_vel,
+            subpoint_targvec=sub_targvec,
+            subpoint_et=sub_et,
+            subpoint_rayvec=subpoint_rayvec,
+            subpoint_distance=subpoint_distance,
+            subpoint_obsvec=subpoint_obsvec,
+        )
+
+        # Sub-solar point: intercept towards the apparent sun direction
+        # seen from the observer... per SPICE subslr: the point where the
+        # ray from the sun to the target centre intercepts the surface.
+        if self._pos_s is not None and self.illumination_source_id != self.target_id:
+            subsol = self._subslr_impl(et, out)
+            out.update(subsol)
+        else:
+            out['subsol_targvec'] = jnp.full(3, jnp.nan)
+            out['subsol_et'] = jnp.full((), jnp.nan)
+        return out
+
+    def _subslr_impl(self, et, consts):
+        """
+        Sub-solar point, method INTERCEPT/ELLIPSOID (``subslr``): intercept
+        on the target of the ray from the sun towards the target's centre,
+        with the target epoch matching ``subpnt``'s (et - lt to subpoint).
+        """
+        import jax.numpy as jnp
+
+        radii = jnp.asarray(self.radii)
+        n_iter = 4 if self.corr.converged else 1
+        obs_pos = consts['obs_pos_ssb']
+
+        # Epoch iteration: trgepc = et - (light time observer -> sub-solar
+        # point), exactly as CSPICE subslr converges it.
+        tau = consts['subpoint_et']
+        spoint = None
+        for _ in range(n_iter):
+            targ_pos_ssb = self._pos_t(tau)[..., :3]
+            # Apparent sun as seen from the target centre at tau
+            lt_s = jnp.zeros((), dtype=jnp.float64)
+            sun_vec = None
+            for _ in range(n_iter):
+                sun_pos = self._pos_s(tau - lt_s)[..., :3]
+                sun_vec = sun_pos - targ_pos_ssb
+                lt_s = jnp.linalg.norm(sun_vec, axis=-1) / CLIGHT
+            rot = self.frame_model.j2000_to_bodyfixed_matrix(tau)
+            sun_bf = jnp.einsum('...ij,...j->...i', rot, sun_vec)
+            d_bf = -sun_bf / jnp.linalg.norm(sun_bf, axis=-1, keepdims=True)
+            s, found = geom.ray_ellipsoid_intercept(sun_bf, d_bf, radii)
+            spoint = jnp.where(found, sun_bf + s[..., None] * d_bf, jnp.nan)
+            # Distance observer -> sub-solar point sets the next epoch
+            m_bf2j = self.frame_model.bodyfixed_to_j2000_matrix(tau)
+            spoint_ssb = targ_pos_ssb + jnp.einsum(
+                '...ij,...j->...i', m_bf2j, spoint
+            )
+            dist = jnp.linalg.norm(spoint_ssb - obs_pos, axis=-1)
+            tau = et - dist / CLIGHT
+        return dict(subsol_targvec=spoint, subsol_et=tau)
+
+    # ------------------------------------------------------------------
+    # Public batched functions (jitted, cached per engine)
+    # ------------------------------------------------------------------
+    def sincpt(self, et, obsvec_norm, lt0):
+        fn = self._jitted('sincpt', self._sincpt_core)
+        return fn(et, obsvec_norm, lt0)
+
+    def illumf(self, et, targvec):
+        fn = self._jitted('illumf', self._illumf_core)
+        return fn(et, targvec)
+
+    def spkcpt(self, et, targvec):
+        fn = self._jitted('spkcpt', self._spkcpt_core)
+        return fn(et, targvec)
+
+    def targvec2obsvec(self, targvec, sub):
+        fn = self._jitted('targvec2obsvec', self._targvec2obsvec_core)
+        return fn(targvec, sub)
+
+    def obsvec2targvec(self, obsvec, sub):
+        fn = self._jitted('obsvec2targvec', self._obsvec2targvec_core)
+        return fn(obsvec, sub)
+
+    # -- local solar time --------------------------------------------------
+    def solar_longitude(self, et):
+        """
+        Planetocentric east longitude of the apparent sun (the sub-solar
+        meridian used for local solar time, ``et2lst`` equivalent).
+        """
+        fn = self._jitted('solar_longitude', self._solar_longitude_impl)
+        return fn(et)
+
+    def _solar_longitude_impl(self, et):
+        import jax.numpy as jnp
+
+        # Apparent sun from target centre with LT+S (CSPICE et2lst uses the
+        # apparent solar position)
+        targ_pos_ssb = self._pos_t(et)[..., :3]
+        lt_s = jnp.zeros(jnp.shape(et), dtype=jnp.float64)
+        sun_vec = None
+        for _ in range(4):
+            sun_pos = self._pos_s(et - lt_s)[..., :3]
+            sun_vec = sun_pos - targ_pos_ssb
+            lt_s = jnp.linalg.norm(sun_vec, axis=-1) / CLIGHT
+        # stellar aberration for an observer at the target centre
+        targ_vel_ssb = self._pos_t(et)[..., 3:]
+        sun_vec = stelab(sun_vec, targ_vel_ssb / CLIGHT)
+        rot = self.frame_model.j2000_to_bodyfixed_matrix(et)
+        sun_bf = jnp.einsum('...ij,...j->...i', rot, sun_vec)
+        return jnp.arctan2(sun_bf[..., 1], sun_bf[..., 0])

@@ -2,9 +2,16 @@ import os
 
 # Deterministic CPU test environment with a virtual 8-device mesh so the
 # multi-chip sharding paths are exercised without TPU hardware.
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+#
+# NOTE: in this environment the 'axon' TPU plugin ignores the JAX_PLATFORMS
+# environment variable, so the platform must be forced via jax.config before
+# any computation happens.
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8'
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
