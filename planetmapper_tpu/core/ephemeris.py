@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import lru_cache
 from typing import Callable
 
 import numpy as np
@@ -58,6 +57,7 @@ class Ephemeris:
         self._n_segments_seen = 0
         self._by_target: dict[int, list[SpkSegment]] = {}
         self._state_fn_cache: dict[tuple, Callable] = {}
+        self._chain_cache: dict[tuple, tuple] = {}
         self._refresh()
 
     def _refresh(self) -> None:
@@ -66,7 +66,7 @@ class Ephemeris:
             return
         self._by_target.clear()
         self._state_fn_cache.clear()
-        self._relative_chains_cached.cache_clear()
+        self._chain_cache.clear()
         # Precedence: later-loaded files first; later segments within a file
         # first (matching the SPICE segment search order).
         for seg in reversed(segments):
@@ -219,17 +219,17 @@ class Ephemeris:
 
         return fn
 
-    @lru_cache(maxsize=512)
-    def _relative_chains_cached(self, target, observer, et_key):
-        return self._relative_chains_impl(target, observer, et_key)
-
     def _relative_chains(self, target: int, observer: int, et0: float):
-        # Cache keyed on a coarse time bucket: chains are stable over spans
-        # far longer than a day in practice.
+        # Cache keyed on a coarse time bucket (chains are stable over spans
+        # far longer than a day), but resolved at the *actual* epoch so
+        # segment-boundary epochs are handled exactly.
         self._refresh()
-        return self._relative_chains_cached(
-            target, observer, round(et0 / 86400.0) * 86400.0
-        )
+        key = (target, observer, round(et0 / 86400.0))
+        cached = self._chain_cache.get(key)
+        if cached is None:
+            cached = self._relative_chains_impl(target, observer, et0)
+            self._chain_cache[key] = cached
+        return cached
 
     def _relative_chains_impl(self, target: int, observer: int, et0: float):
         chain_t = self.chain(target, et0) if target != SSB else []

@@ -45,34 +45,69 @@ def geodetic_to_rect(lon_e, lat, alt, re, f):
     return jnp.stack([x, y, z], axis=-1)
 
 
-def rect_to_geodetic(v, re, f, n_iter: int = 6):
+def rect_to_geodetic(v, re, f):
     """
-    ``recpgr`` equivalent (east-positive longitude): body-fixed rectangular
-    coordinates to geodetic ``(lon_e, lat, alt)``. Bowring's method with a
-    fixed iteration count (converges far past float64 for |alt| << re).
+    ``recpgr``/``recgeo`` equivalent (east-positive longitude): body-fixed
+    rectangular coordinates to geodetic ``(lon_e, lat, alt)``.
+
+    Uses the exact nearest-point-on-spheroid construction (like CSPICE
+    ``recgeo``): the geodetic latitude is defined by the surface normal at
+    the closest point on the spheroid, which remains well-defined for
+    points deep inside the body (e.g. ``(1, 2, 3)`` km from the centre maps
+    to a near-polar latitude for an oblate spheroid). Solved by vectorised
+    bisection + Newton polish on the standard nearest-point parameter
+    equation  (a rho/(t+a^2))^2 + (b z/(t+b^2))^2 = 1.
     """
     x = v[..., 0]
     y = v[..., 1]
     z = v[..., 2]
-    rp = re * (1.0 - f)
-    e2 = f * (2.0 - f)
-    ep2 = e2 / (1.0 - e2)
+    a = re
+    b = re * (1.0 - f)
 
     lon = jnp.arctan2(y, x)
     rho = jnp.hypot(x, y)
+    az = jnp.abs(z)
 
-    beta = jnp.arctan2(z, (1.0 - f) * rho)
-    lat = beta
-    for _ in range(n_iter):
-        sb = jnp.sin(beta)
-        cb = jnp.cos(beta)
-        lat = jnp.arctan2(z + ep2 * rp * sb**3, rho - e2 * re * cb**3)
-        beta = jnp.arctan2((1.0 - f) * jnp.sin(lat), jnp.cos(lat))
-    sin_lat = jnp.sin(lat)
-    cos_lat = jnp.cos(lat)
-    n = re / jnp.sqrt(1.0 - e2 * sin_lat * sin_lat)
-    # Altitude via projection (stable at poles and equator alike)
-    alt = rho * cos_lat + z * sin_lat - n * (1.0 - e2 * sin_lat * sin_lat)
+    a2 = a * a
+    b2 = b * b
+
+    def f_of_t(t):
+        return (
+            (a * rho / (t + a2)) ** 2 + (b * az / (t + b2)) ** 2 - 1.0
+        )
+
+    # Root bracket: F is monotonically decreasing for t > -b^2.
+    r = jnp.sqrt(rho * rho + az * az)
+    t_lo = -b2 + 1e-12 * b2 + jnp.zeros_like(rho)
+    t_hi = jnp.maximum(r, a) * a + a2  # F(t_hi) < 0 always
+    for _ in range(52):
+        t_mid = 0.5 * (t_lo + t_hi)
+        pos = f_of_t(t_mid) > 0.0
+        t_lo = jnp.where(pos, t_mid, t_lo)
+        t_hi = jnp.where(pos, t_hi, t_mid)
+    t = 0.5 * (t_lo + t_hi)
+    for _ in range(3):  # Newton polish to machine precision
+        ft = f_of_t(t)
+        dft = (
+            -2.0 * (a * rho) ** 2 / (t + a2) ** 3
+            - 2.0 * (b * az) ** 2 / (t + b2) ** 3
+        )
+        t = t - ft / jnp.where(dft != 0.0, dft, 1.0)
+
+    # Nearest surface point (in the rho-z plane)
+    rho_s = a2 * rho / (t + a2)
+    z_s = b2 * az / (t + b2)
+    # Geodetic latitude from the surface normal at the nearest point
+    lat = jnp.arctan2(z_s / b2, rho_s / a2)
+    # Degenerate axis case (rho == 0): the nearest point is the pole
+    on_axis = rho == 0.0
+    lat = jnp.where(on_axis, jnp.pi / 2.0, lat)
+    alt_axis = az - b
+    dist = jnp.hypot(rho - rho_s, az - z_s)
+    inside = (rho / a) ** 2 + (az / b) ** 2 < 1.0
+    alt = jnp.where(inside, -dist, dist)
+    alt = jnp.where(on_axis, alt_axis, alt)
+    lat = lat * jnp.sign(jnp.where(z == 0.0, 1.0, jnp.sign(z)))
     return lon, lat, alt
 
 

@@ -122,7 +122,7 @@ class SceneEngine:
             return d
         return stelab(d, -obs_vel / CLIGHT)
 
-    def _sincpt_core(self, et, obsvec_norm, lt0):
+    def _sincpt_core(self, et, radii, obsvec_norm, lt0):
         """
         Surface intercept of rays from the observer (``sincpt`` equivalent):
         per-ray converged-Newtonian light time, target position and frame
@@ -133,7 +133,7 @@ class SceneEngine:
         """
         import jax.numpy as jnp
 
-        radii = jnp.asarray(self.radii)
+        radii = jnp.asarray(radii)
         obs = self._pos_o(et)
         obs_pos, obs_vel = obs[..., :3], obs[..., 3:]
         d = self._ray_to_geometric(obsvec_norm, obs_vel)
@@ -157,7 +157,7 @@ class SceneEngine:
         spoint = jnp.where(found[..., None], spoint, jnp.nan)
         return spoint, trgepc, found
 
-    def _illumf_core(self, et, targvec):
+    def _illumf_core(self, et, radii, targvec):
         """
         Illumination angles + visibility/lit flags for body-fixed surface
         points (``illumf`` equivalent). Per-point light time epochs for the
@@ -165,7 +165,7 @@ class SceneEngine:
         """
         import jax.numpy as jnp
 
-        radii = jnp.asarray(self.radii)
+        radii = jnp.asarray(radii)
         obs = self._pos_o(et)
         obs_pos = obs[..., :3]
         n_iter = 4 if self.corr.converged else 1
@@ -302,19 +302,23 @@ class SceneEngine:
     # ------------------------------------------------------------------
     # Scene constants (Body.__init__ equivalent, one jitted program)
     # ------------------------------------------------------------------
-    def scene_constants(self, et: float) -> dict:
+    def scene_constants(self, et: float, radii=None) -> dict:
         """
         All per-scene device constants: apparent target centre, sub-observer
-        and sub-solar points, ring plane. One jitted program per engine.
+        and sub-solar points. One jitted program per engine; ``radii`` is a
+        traced argument so altitude-adjusted surfaces (reference
+        body.py:172-230) reuse the compiled program.
         """
+        if radii is None:
+            radii = self.radii
         fn = self._jitted('scene_constants', self._scene_constants_impl)
-        out = fn(et)
+        out = fn(et, np.asarray(radii, dtype=np.float64))
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def _scene_constants_impl(self, et):
+    def _scene_constants_impl(self, et, radii):
         import jax.numpy as jnp
 
-        radii = jnp.asarray(self.radii)
+        radii = jnp.asarray(radii)
         target_obsvec, target_lt, obs_pos, obs_vel = (
             self._apparent_target_center(et)
         )
@@ -365,14 +369,14 @@ class SceneEngine:
         # seen from the observer... per SPICE subslr: the point where the
         # ray from the sun to the target centre intercepts the surface.
         if self._pos_s is not None and self.illumination_source_id != self.target_id:
-            subsol = self._subslr_impl(et, out)
+            subsol = self._subslr_impl(et, radii, out)
             out.update(subsol)
         else:
             out['subsol_targvec'] = jnp.full(3, jnp.nan)
             out['subsol_et'] = jnp.full((), jnp.nan)
         return out
 
-    def _subslr_impl(self, et, consts):
+    def _subslr_impl(self, et, radii, consts):
         """
         Sub-solar point, method INTERCEPT/ELLIPSOID (``subslr``): intercept
         on the target of the ray from the sun towards the target's centre,
@@ -380,7 +384,7 @@ class SceneEngine:
         """
         import jax.numpy as jnp
 
-        radii = jnp.asarray(self.radii)
+        radii = jnp.asarray(radii)
         n_iter = 4 if self.corr.converged else 1
         obs_pos = consts['obs_pos_ssb']
 
@@ -414,13 +418,13 @@ class SceneEngine:
     # ------------------------------------------------------------------
     # Public batched functions (jitted, cached per engine)
     # ------------------------------------------------------------------
-    def sincpt(self, et, obsvec_norm, lt0):
+    def sincpt(self, et, radii, obsvec_norm, lt0):
         fn = self._jitted('sincpt', self._sincpt_core)
-        return fn(et, obsvec_norm, lt0)
+        return fn(et, np.asarray(radii, dtype=np.float64), obsvec_norm, lt0)
 
-    def illumf(self, et, targvec):
+    def illumf(self, et, radii, targvec):
         fn = self._jitted('illumf', self._illumf_core)
-        return fn(et, targvec)
+        return fn(et, np.asarray(radii, dtype=np.float64), targvec)
 
     def spkcpt(self, et, targvec):
         fn = self._jitted('spkcpt', self._spkcpt_core)
@@ -433,6 +437,166 @@ class SceneEngine:
     def obsvec2targvec(self, obsvec, sub):
         fn = self._jitted('obsvec2targvec', self._obsvec2targvec_core)
         return fn(obsvec, sub)
+
+    # -- limb (limbpt equivalent) ------------------------------------------
+    def limbpt(self, et, radii, rolls, sub):
+        fn = self._jitted('limbpt', self._limbpt_core)
+        return fn(
+            et, np.asarray(radii, dtype=np.float64),
+            np.asarray(rolls, dtype=np.float64), sub,
+        )
+
+    def _limbpt_core(self, et, radii, rolls, sub):
+        """
+        Limb points (``limbpt`` with method TANGENT/ELLIPSOID and
+        corloc='ELLIPSOID LIMB'): one point per cutting half-plane. The
+        half-planes contain the observer-target axis; roll=0 contains the
+        reference vector [0,0,1] and roll increases right-handed about the
+        axis. Per-point light-time epochs are converged iteratively.
+
+        For an ellipsoid the tangent points are exactly the limb ellipse
+        (``edlimb``), so each point is the intersection of that ellipse
+        with its half-plane - closed form per iteration, fully batched.
+        """
+        import jax.numpy as jnp
+
+        radii = jnp.asarray(radii)
+        target_obsvec, target_lt, obs_pos, obs_vel = (
+            self._apparent_target_center(et)
+        )
+        axis = target_obsvec / jnp.linalg.norm(target_obsvec, axis=-1)
+        refvec = jnp.array([0.0, 0.0, 1.0])
+        e1 = refvec - jnp.sum(refvec * axis) * axis
+        e1 = e1 / jnp.linalg.norm(e1)
+        e2 = jnp.cross(axis, e1)
+        # Half-plane directions for each roll angle (J2000)
+        v_roll = (
+            e1 * jnp.cos(rolls)[..., None] + e2 * jnp.sin(rolls)[..., None]
+        )
+        plane_normal = jnp.cross(axis, v_roll)  # (npts, 3)
+
+        tau = jnp.full(rolls.shape, sub['subpoint_et'], dtype=jnp.float64)
+        points = None
+        for _ in range(3):
+            targ_pos = self._pos_t(tau)[..., :3] - obs_pos  # (npts, 3)
+            rot = self.frame_model.j2000_to_bodyfixed_matrix(tau)
+            o_bf = -jnp.einsum('...ij,...j->...i', rot, targ_pos)
+            n_bf = jnp.einsum('...ij,...j->...i', rot, plane_normal)
+            v_bf = jnp.einsum('...ij,...j->...i', rot, v_roll)
+            center, u, v = geom.limb_ellipse(o_bf, radii)
+            # Solve n . (center + u cos t + v sin t - o_bf) = 0
+            a_c = jnp.sum(n_bf * u, axis=-1)
+            b_c = jnp.sum(n_bf * v, axis=-1)
+            c_c = jnp.sum(n_bf * (o_bf - center), axis=-1)
+            amp = jnp.hypot(a_c, b_c)
+            phase0 = jnp.arctan2(b_c, a_c)
+            delta = jnp.arccos(jnp.clip(c_c / amp, -1.0, 1.0))
+            t1 = phase0 + delta
+            t2 = phase0 - delta
+            q1 = center + u * jnp.cos(t1)[..., None] + v * jnp.sin(t1)[..., None]
+            q2 = center + u * jnp.cos(t2)[..., None] + v * jnp.sin(t2)[..., None]
+            side1 = jnp.sum((q1 - o_bf) * v_bf, axis=-1)
+            points = jnp.where(side1[..., None] >= 0.0, q1, q2)
+            dist = jnp.linalg.norm(points - o_bf, axis=-1)
+            tau = et - dist / CLIGHT
+        return points
+
+    # -- terminator (termpt equivalent) ------------------------------------
+    def termpt(self, et, radii, rolls, sub, umbral: bool = True,
+               source_radius: float | None = None):
+        if source_radius is None:
+            source_radius = self._source_radius()
+        fn = self._jitted(
+            f'termpt_{umbral}', partial(self._termpt_core, umbral=umbral)
+        )
+        return fn(
+            et, np.asarray(radii, dtype=np.float64),
+            np.asarray(rolls, dtype=np.float64), sub,
+            float(source_radius),
+        )
+
+    def _source_radius(self) -> float:
+        try:
+            return float(
+                self.ephemeris._pool.bodvar(self.illumination_source_id, 'RADII')[0]
+            )
+        except Exception:
+            return 0.0
+
+    def _termpt_core(self, et, radii, rolls, sub, source_radius, *, umbral):
+        """
+        Terminator points (``termpt`` with method UMBRAL/TANGENT/ELLIPSOID
+        or PENUMBRAL/..., corloc='ELLIPSOID TERMINATOR'): the cutting
+        half-planes contain the target-source axis. Each point satisfies
+        the grazing-ray condition n.s_hat = -/+ sin(angular radius of the
+        source), solved by vectorised bisection along each half-plane's
+        surface arc, with per-point light-time epochs.
+        """
+        import jax.numpy as jnp
+
+        radii = jnp.asarray(radii)
+        _, _, obs_pos, _ = self._apparent_target_center(et)
+
+        tau = jnp.full(rolls.shape, sub['subpoint_et'], dtype=jnp.float64)
+        points = None
+        for _ in range(3):
+            targ_ssb = self._pos_t(tau)[..., :3]
+            # Apparent sun from target centre at tau (per point)
+            lt_s = jnp.zeros(rolls.shape, dtype=jnp.float64)
+            sun_vec = None
+            for _ in range(3):
+                sun_pos = self._pos_s(tau - lt_s)[..., :3]
+                sun_vec = sun_pos - targ_ssb
+                lt_s = jnp.linalg.norm(sun_vec, axis=-1) / CLIGHT
+            rot = self.frame_model.j2000_to_bodyfixed_matrix(tau)
+            sun_bf = jnp.einsum('...ij,...j->...i', rot, sun_vec)
+
+            axis = sun_bf / jnp.linalg.norm(sun_bf, axis=-1, keepdims=True)
+            ref_bf = jnp.einsum(
+                '...ij,...j->...i', rot,
+                jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), sun_bf.shape),
+            )
+            e1 = ref_bf - jnp.sum(ref_bf * axis, axis=-1, keepdims=True) * axis
+            e1 = e1 / jnp.linalg.norm(e1, axis=-1, keepdims=True)
+            e2 = jnp.cross(axis, e1)
+            v_roll = (
+                e1 * jnp.cos(rolls)[..., None] + e2 * jnp.sin(rolls)[..., None]
+            )
+
+            def surface_point(psi):
+                w = axis * jnp.cos(psi)[..., None] + v_roll * jnp.sin(psi)[..., None]
+                return geom.radial_surface_point(w, radii)
+
+            def g(psi):
+                q = surface_point(psi)
+                n = geom.surface_normal(q, radii)
+                to_sun = sun_bf - q
+                dist_sun = jnp.linalg.norm(to_sun, axis=-1)
+                s_hat = to_sun / dist_sun[..., None]
+                sin_alpha = jnp.clip(source_radius / dist_sun, 0.0, 1.0)
+                target = -sin_alpha if umbral else sin_alpha
+                return jnp.sum(n * s_hat, axis=-1) - target
+
+            # Bisection: g decreases from ~+1 at psi=0 (subsolar) to ~-1 at
+            # psi=pi (antisolar); exactly one root in between.
+            lo = jnp.zeros(rolls.shape, dtype=jnp.float64)
+            hi = jnp.full(rolls.shape, jnp.pi, dtype=jnp.float64)
+            for _ in range(55):
+                mid = 0.5 * (lo + hi)
+                gm = g(mid)
+                lo = jnp.where(gm > 0.0, mid, lo)
+                hi = jnp.where(gm > 0.0, hi, mid)
+            psi = 0.5 * (lo + hi)
+            points = surface_point(psi)
+
+            # Light time epoch from the observer to each point
+            m_bf2j = jnp.swapaxes(rot, -1, -2)
+            point_j2000 = (targ_ssb - obs_pos) + jnp.einsum(
+                '...ij,...j->...i', m_bf2j, points
+            )
+            dist = jnp.linalg.norm(point_j2000, axis=-1)
+            tau = et - dist / CLIGHT
+        return points
 
     # -- local solar time --------------------------------------------------
     def solar_longitude(self, et):

@@ -48,7 +48,10 @@ class SpkSegment:
     source: str = ''
 
     def covers(self, et: float) -> bool:
-        return self.start_et <= et <= self.end_et
+        # Small tolerance absorbs last-ulp differences at segment boundaries
+        # (kernels are often cut at exactly the epoch of interest).
+        eps = 1e-3
+        return self.start_et - eps <= et <= self.end_et + eps
 
 
 @dataclass
