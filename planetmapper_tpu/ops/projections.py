@@ -1,0 +1,293 @@
+"""
+Native map projections (replacing the reference's pyproj/PROJ dependency,
+body_xy.py:2755-3149).
+
+Implements the built-in projections as closed-form vectorised transforms:
+
+- ``rectangular`` / ``manual``: identity lon/lat grids
+- ``ortho``: orthographic on the oblate spheroid. The forward model is the
+  exact parallel projection onto the view plane (which is algebraically
+  identical to PROJ's ellipsoidal orthographic series plus a constant y
+  offset), so the inverse is an exact closed-form ray-spheroid
+  intersection - no iteration.
+- ``aeqd``: azimuthal equidistant on the sphere of radius a (PROJ is called
+  with ``+b`` removed by the reference, so the spherical forms apply).
+- ``laea``: Lambert azimuthal equal-area on the sphere of radius a.
+
+The ``+axis=wnu`` convention of positive-west bodies is reproduced: input
+longitudes are interpreted in the body's planetographic convention and the
+projected x axis is wested (negated) accordingly, exactly like the PROJ
+pipeline the reference constructs.
+
+All transforms operate on numpy arrays (host side): map grids are small and
+generated once per projection; the heavy per-cell geometry runs on device
+afterwards.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class ProjStringError(ValueError):
+    """Bad or inconsistent proj projection string (reference body_xy.py:110)."""
+
+
+@dataclass
+class ProjectionTransformer:
+    """
+    pyproj.Transformer-compatible shim: ``transform(x, y)`` maps lon/lat to
+    projected coordinates and ``direction='INVERSE'`` maps back.
+    """
+
+    kind: str  # 'lonlat', 'ortho', 'aeqd', 'laea'
+    a: float = 1.0
+    b: float = 1.0
+    lon_0: float = 0.0
+    lat_0: float = 0.0
+    y_0: float = 0.0  # false northing [same units as a]
+    to_meter: float = 1.0
+    west_positive: bool = False
+
+    def transform(self, x, y, direction: str = 'FORWARD'):
+        x = np.asarray(x, dtype=float)
+        y = np.asarray(y, dtype=float)
+        if str(direction).upper().startswith('I'):
+            return self._inverse(x, y)
+        return self._forward(x, y)
+
+    # -- basis helpers -----------------------------------------------------
+    def _view_basis(self):
+        """East/North/Up unit vectors at the projection centre (a-units)."""
+        lam0 = math.radians(self.lon_0)
+        phi0 = math.radians(self.lat_0)
+        sl, cl = math.sin(lam0), math.cos(lam0)
+        sp, cp = math.sin(phi0), math.cos(phi0)
+        east = np.array([-sl, cl, 0.0])
+        north = np.array([-sp * cl, -sp * sl, cp])
+        up = np.array([cp * cl, cp * sl, sp])  # geodetic normal
+        return east, north, up
+
+    def _e2(self):
+        return 1.0 - (self.b / self.a) ** 2
+
+    def _y_offset_total(self):
+        """
+        Constant northing offset between the exact parallel projection and
+        the output coordinates: PROJ's series offset plus the false
+        northing the reference supplies (body_xy.py:2937).
+        """
+        phi0 = math.radians(self.lat_0)
+        e2 = self._e2()
+        nu0 = 1.0 / math.sqrt(1.0 - e2 * math.sin(phi0) ** 2)
+        return (
+            e2 * nu0 * math.sin(phi0) * math.cos(phi0)
+            + self.y_0 / self.a
+        )
+
+    # -- forward -----------------------------------------------------------
+    def _forward(self, lon, lat):
+        if self.kind in ('lonlat', 'rectangular', 'manual'):
+            return lon, lat
+
+        lam = np.radians(lon - self.lon_0)
+        phi = np.radians(lat)
+
+        if self.kind == 'ortho':
+            e2 = self._e2()
+            sp = np.sin(phi)
+            cp = np.cos(phi)
+            nu = 1.0 / np.sqrt(1.0 - e2 * sp * sp)
+            phi0 = math.radians(self.lat_0)
+            sp0, cp0 = math.sin(phi0), math.cos(phi0)
+            nu0 = 1.0 / math.sqrt(1.0 - e2 * sp0 * sp0)
+            x = nu * cp * np.sin(lam)
+            yy = nu * (sp * cp0 - cp * sp0 * np.cos(lam)) + e2 * (
+                nu0 * sp0 - nu * sp
+            ) * cp0
+            out_x = x * self.a / self.to_meter
+            out_y = (yy * self.a + self.y_0) / self.to_meter
+        elif self.kind == 'aeqd':
+            cosc = np.sin(math.radians(self.lat_0)) * np.sin(phi) + np.cos(
+                math.radians(self.lat_0)
+            ) * np.cos(phi) * np.cos(lam)
+            c = np.arccos(np.clip(cosc, -1.0, 1.0))
+            with np.errstate(invalid='ignore', divide='ignore'):
+                k = np.where(c != 0.0, c / np.sin(c), 1.0)
+            phi0 = math.radians(self.lat_0)
+            x = k * np.cos(phi) * np.sin(lam)
+            yy = k * (
+                math.cos(phi0) * np.sin(phi)
+                - math.sin(phi0) * np.cos(phi) * np.cos(lam)
+            )
+            out_x = x * self.a / self.to_meter
+            out_y = yy * self.a / self.to_meter
+        elif self.kind == 'laea':
+            phi0 = math.radians(self.lat_0)
+            denom = 1.0 + math.sin(phi0) * np.sin(phi) + math.cos(
+                phi0
+            ) * np.cos(phi) * np.cos(lam)
+            with np.errstate(invalid='ignore', divide='ignore'):
+                kp = np.sqrt(np.where(denom > 0, 2.0 / denom, np.nan))
+            x = kp * np.cos(phi) * np.sin(lam)
+            yy = kp * (
+                math.cos(phi0) * np.sin(phi)
+                - math.sin(phi0) * np.cos(phi) * np.cos(lam)
+            )
+            out_x = x * self.a / self.to_meter
+            out_y = yy * self.a / self.to_meter
+        else:
+            raise ProjStringError(f'Unknown projection kind {self.kind!r}')
+
+        if self.west_positive:
+            out_x = -out_x
+        return out_x, out_y
+
+    # -- inverse -----------------------------------------------------------
+    def _inverse(self, x, y):
+        if self.kind in ('lonlat', 'rectangular', 'manual'):
+            return x, y
+
+        if self.west_positive:
+            x = -x
+
+        if self.kind == 'ortho':
+            return self._inverse_ortho(x, y)
+
+        rho_x = x * self.to_meter / self.a
+        rho_y = y * self.to_meter / self.a
+        rho = np.hypot(rho_x, rho_y)
+        phi0 = math.radians(self.lat_0)
+
+        if self.kind == 'aeqd':
+            c = rho
+            invalid = c > np.pi
+        elif self.kind == 'laea':
+            with np.errstate(invalid='ignore'):
+                c = 2.0 * np.arcsin(np.clip(rho / 2.0, -1.0, 1.0))
+            invalid = rho > 2.0
+        else:
+            raise ProjStringError(f'Unknown projection kind {self.kind!r}')
+
+        with np.errstate(invalid='ignore', divide='ignore'):
+            sinc = np.sin(c)
+            cosc = np.cos(c)
+            phi = np.arcsin(
+                np.clip(
+                    cosc * math.sin(phi0)
+                    + np.where(rho != 0, rho_y * sinc * math.cos(phi0) / rho, 0.0),
+                    -1.0,
+                    1.0,
+                )
+            )
+            lam = np.arctan2(
+                rho_x * sinc,
+                rho * cosc * math.cos(phi0) - rho_y * math.sin(phi0) * sinc,
+            )
+        lon = self.lon_0 + np.degrees(np.where(rho != 0, lam, 0.0))
+        lat = np.degrees(np.where(rho != 0, phi, phi0))
+        lon = np.where(invalid, np.nan, lon)
+        lat = np.where(invalid, np.nan, lat)
+        return lon, lat
+
+    def _inverse_ortho(self, x, y):
+        """
+        Exact inverse of the (parallel-projection) ellipsoidal orthographic
+        forward: intersect the view ray with the spheroid and convert the
+        near-side intersection to geodetic coordinates.
+        """
+        east, north, up = self._view_basis()
+        xp = x * self.to_meter / self.a
+        yp = y * self.to_meter / self.a - self._y_offset_total()
+
+        # Ray: p(t) = xp*east + yp*north + t*up  (a-units); spheroid
+        # x^2 + y^2 + (z/(b/a))^2 = 1
+        scale = np.array([1.0, 1.0, self.a / self.b])
+        origin = (
+            xp[..., None] * east + yp[..., None] * north
+        ) * scale
+        d = up * scale
+        aa = np.sum(d * d)
+        bb = np.sum(origin * d, axis=-1)
+        cc = np.sum(origin * origin, axis=-1) - 1.0
+        disc = bb * bb - aa * cc
+        ok = disc >= 0.0
+        with np.errstate(invalid='ignore'):
+            t = (-bb + np.sqrt(np.where(ok, disc, np.nan))) / aa  # near side
+        p = (
+            xp[..., None] * east
+            + yp[..., None] * north
+            + t[..., None] * up
+        )  # a-units, unscaled frame
+
+        # Geodetic conversion (e2 small enough for fixed-point iteration,
+        # and the result is exact for surface points)
+        e2 = self._e2()
+        lon = np.degrees(np.arctan2(p[..., 1], p[..., 0]))
+        rho = np.hypot(p[..., 0], p[..., 1])
+        z = p[..., 2]
+        with np.errstate(invalid='ignore', divide='ignore'):
+            lat = np.arctan2(z, rho * (1.0 - e2))
+            for _ in range(8):
+                sp = np.sin(lat)
+                nu = 1.0 / np.sqrt(1.0 - e2 * sp * sp)
+                lat = np.arctan2(z + e2 * nu * sp, rho)
+        lat = np.degrees(lat)
+        lon = np.where(ok, lon, np.nan)
+        lat = np.where(ok, lat, np.nan)
+        return lon, lat
+
+
+_PROJ_RE = re.compile(r'\+proj=(\w+)')
+_PARAM_RE = re.compile(r'\+(\w+)=([^\s]+)')
+
+_SUPPORTED_PROJ_NAMES = {
+    'ortho': 'ortho',
+    'aeqd': 'aeqd',
+    'laea': 'laea',
+    'lonlat': 'lonlat',
+    'longlat': 'lonlat',
+    'latlon': 'lonlat',
+}
+
+
+def transformer_from_proj_string(projection: str) -> ProjectionTransformer:
+    """
+    Build a :class:`ProjectionTransformer` from a proj-style string
+    (supported: the projections the framework implements natively).
+    """
+    m = _PROJ_RE.search(projection)
+    if not m:
+        raise ProjStringError(f'No +proj= in projection string {projection!r}')
+    name = m.group(1)
+    kind = _SUPPORTED_PROJ_NAMES.get(name)
+    if kind is None:
+        raise NotImplementedError(
+            f'Projection {name!r} is not supported natively (supported: '
+            f'{sorted(set(_SUPPORTED_PROJ_NAMES))}). Install pyproj for '
+            'arbitrary PROJ projections.'
+        )
+    params = dict(_PARAM_RE.findall(projection))
+
+    def fget(key, default):
+        try:
+            return float(params[key])
+        except KeyError:
+            return default
+
+    a = fget('a', 1.0)
+    b = fget('b', a)
+    return ProjectionTransformer(
+        kind=kind,
+        a=a,
+        b=b,
+        lon_0=fget('lon_0', 0.0),
+        lat_0=fget('lat_0', 0.0),
+        y_0=fget('y_0', 0.0),
+        to_meter=fget('to_meter', 1.0),
+        west_positive=params.get('axis', 'enu').startswith('w'),
+    )
