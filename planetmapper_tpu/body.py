@@ -1400,17 +1400,11 @@ class Body(BodyBase):
     def _lst_from_lon(self, lon: float):
         if not math.isfinite(lon):
             return np.nan, np.nan, np.nan, '', ''
-        lst = self._lst_hours_from_lons(np.asarray(float(lon)))
-        lst = float(lst)
-        hr = int(lst)
-        mn = int((lst - hr) * 60)
-        sc = int(round(((lst - hr) * 60 - mn) * 60))
-        if sc >= 60:
-            sc -= 60
-            mn += 1
-        if mn >= 60:
-            mn -= 60
-            hr = (hr + 1) % 24
+        lst = float(self._lst_hours_from_lons(np.asarray(float(lon))))
+        total_seconds = int(lst * 3600.0)
+        hr = total_seconds // 3600
+        mn = (total_seconds % 3600) // 60
+        sc = total_seconds % 60
         time_str = f'{hr:02d}:{mn:02d}:{sc:02d}'
         ampm = f'{(hr % 12) or 12:02d}:{mn:02d}:{sc:02d} ' + (
             'A.M.' if hr < 12 else 'P.M.'
@@ -1421,7 +1415,8 @@ class Body(BodyBase):
         """
         Numerical local solar time for planetographic longitudes (batched).
         ``et2lst`` equivalent evaluated at et - target light time (matching
-        the reference call at body.py:2364-2374).
+        the reference call at body.py:2364-2374). Quantised to whole seconds
+        like CSPICE's integer (hr, mn, sc) output.
         """
         et = self.et - self.target_light_time
         sun_lon_e = float(
@@ -1430,8 +1425,8 @@ class Body(BodyBase):
         lon = np.deg2rad(np.asarray(lon_pgr_deg, dtype=float))
         lon_e = -lon if self.positive_longitude_direction == 'W' else lon
         sign = 1.0 if self.prograde else -1.0
-        lst = 12.0 + sign * (lon_e - sun_lon_e) * 12.0 / np.pi
-        return np.mod(lst, 24.0)
+        lst = np.mod(12.0 + sign * (lon_e - sun_lon_e) * 12.0 / np.pi, 24.0)
+        return np.floor(lst * 3600.0) / 3600.0
 
     def local_solar_time_from_lon(self, lon: float) -> float:
         """Numerical local solar time in 'local hours' for a longitude."""

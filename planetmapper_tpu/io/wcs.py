@@ -1,0 +1,246 @@
+"""
+Minimal celestial WCS (FITS World Coordinate System) implementation.
+
+Replaces the ``astropy.wcs`` subset used by the observation layer
+(reference observation.py:427-500): parsing CRPIX/CRVAL/CDELT/PC/CD/CROTA2
+keywords, forward and inverse gnomonic (``TAN``) projection per the FITS
+WCS papers (Greisen & Calabretta 2002), and SIP distortion detection with
+``pix2foc`` evaluation.
+
+Pixel conventions follow astropy's ``*_values`` APIs: 0-based pixel
+coordinates (the FITS-standard 1-based CRPIX is converted internally).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+
+class WCS:
+    """Celestial WCS built from a FITS header (TAN projection)."""
+
+    def __init__(self, header=None, naxis=None) -> None:
+        self.naxis = 0
+        self.wcs_valid = False
+        self.ctype = ('', '')
+        self.crpix = np.array([1.0, 1.0])
+        self.crval = np.array([0.0, 0.0])
+        self.matrix = np.eye(2)  # CD matrix: intermediate = CD @ (p - crpix)
+        self._sip_a: dict[tuple[int, int], float] = {}
+        self._sip_b: dict[tuple[int, int], float] = {}
+        del naxis
+        if header is not None:
+            self._parse(header)
+
+    # ------------------------------------------------------------------
+    def _parse(self, header) -> None:
+        def get(key, default=None):
+            try:
+                return header[key]
+            except KeyError:
+                return default
+
+        ctype1 = str(get('CTYPE1', '') or '')
+        ctype2 = str(get('CTYPE2', '') or '')
+        if not (ctype1 and ctype2):
+            return
+        self.ctype = (ctype1, ctype2)
+        self.crpix = np.array(
+            [float(get('CRPIX1', 1.0)), float(get('CRPIX2', 1.0))]
+        )
+        self.crval = np.array(
+            [float(get('CRVAL1', 0.0)), float(get('CRVAL2', 0.0))]
+        )
+
+        cd = np.array(
+            [
+                [get('CD1_1'), get('CD1_2')],
+                [get('CD2_1'), get('CD2_2')],
+            ]
+        )
+        if any(v is not None for v in cd.reshape(-1)):
+            self.matrix = np.array(
+                [[float(v) if v is not None else 0.0 for v in row]
+                 for row in cd]
+            )
+        else:
+            cdelt = np.array(
+                [float(get('CDELT1', 1.0)), float(get('CDELT2', 1.0))]
+            )
+            pc = np.array(
+                [
+                    [get('PC1_1'), get('PC1_2')],
+                    [get('PC2_1'), get('PC2_2')],
+                ]
+            )
+            if any(v is not None for v in pc.reshape(-1)):
+                pc_m = np.array(
+                    [
+                        [
+                            float(v) if v is not None else (1.0 if i == j else 0.0)
+                            for j, v in enumerate(row)
+                        ]
+                        for i, row in enumerate(pc)
+                    ]
+                )
+            else:
+                crota2 = float(get('CROTA2', 0.0))
+                c, s = math.cos(math.radians(crota2)), math.sin(
+                    math.radians(crota2)
+                )
+                pc_m = np.array([[c, -s], [s, c]])
+            self.matrix = np.diag(cdelt) @ pc_m
+
+        # SIP distortion coefficients
+        a_order = get('A_ORDER')
+        b_order = get('B_ORDER')
+        if a_order is not None or b_order is not None:
+            sip_re = re.compile(r'^([AB])_(\d+)_(\d+)$')
+            for key in header.keys():
+                m = sip_re.match(str(key))
+                if m:
+                    which, p, q = m.group(1), int(m.group(2)), int(m.group(3))
+                    coeff = float(header[key])
+                    if which == 'A':
+                        self._sip_a[(p, q)] = coeff
+                    else:
+                        self._sip_b[(p, q)] = coeff
+
+        self.naxis = 2
+        self.wcs_valid = True
+
+    # ------------------------------------------------------------------
+    @property
+    def celestial(self) -> 'WCS':
+        return self
+
+    @property
+    def has_distortion(self) -> bool:
+        return bool(self._sip_a or self._sip_b)
+
+    @property
+    def world_axis_units(self):
+        return ['deg', 'deg'] if self.wcs_valid else []
+
+    @property
+    def world_axis_physical_types(self):
+        if not self.wcs_valid:
+            return []
+        types = []
+        for ctype in self.ctype:
+            if ctype.startswith('RA'):
+                types.append('pos.eq.ra')
+            elif ctype.startswith('DEC'):
+                types.append('pos.eq.dec')
+            else:
+                types.append(ctype)
+        return types
+
+    # ------------------------------------------------------------------
+    def _check_tan(self) -> None:
+        if not self.wcs_valid:
+            raise ValueError('No WCS information available')
+        proj = self.ctype[0][-3:]
+        if proj not in ('TAN', 'LIN', '   '):
+            raise NotImplementedError(
+                f'WCS projection {self.ctype[0]!r} is not supported '
+                '(only TAN / linear)'
+            )
+
+    def pixel_to_world_values(self, x, y):
+        """0-based pixel coordinates to (ra, dec) in degrees."""
+        self._check_tan()
+        x = np.asarray(x, dtype=float)
+        y = np.asarray(y, dtype=float)
+        if self.has_distortion:
+            x, y = self.pix2foc(x, y, 0)
+        # FITS pixels are 1-based
+        dp = np.stack(
+            np.broadcast_arrays(x + 1 - self.crpix[0], y + 1 - self.crpix[1]),
+            axis=-1,
+        )
+        inter = dp @ self.matrix.T  # intermediate world coords [deg]
+        ra, dec = self._tan_to_world(inter[..., 0], inter[..., 1])
+        if np.ndim(ra) == 0:
+            return float(ra), float(dec)
+        return ra, dec
+
+    def world_to_pixel_values(self, ra, dec):
+        """(ra, dec) in degrees to 0-based pixel coordinates."""
+        self._check_tan()
+        xi, eta = self._world_to_tan(
+            np.asarray(ra, dtype=float), np.asarray(dec, dtype=float)
+        )
+        inter = np.stack(np.broadcast_arrays(xi, eta), axis=-1)
+        dp = inter @ np.linalg.inv(self.matrix).T
+        x = dp[..., 0] + self.crpix[0] - 1
+        y = dp[..., 1] + self.crpix[1] - 1
+        # NOTE: SIP inverse (AP/BP) not applied; distortions are warned
+        # about rather than corrected, matching the disc-fitting usage.
+        if np.ndim(x) == 0:
+            return float(x), float(y)
+        return x, y
+
+    def pix2foc(self, x, y, origin: int = 0):
+        """Apply SIP distortion polynomials (pixel -> focal plane)."""
+        x = np.asarray(x, dtype=float) - origin
+        y = np.asarray(y, dtype=float) - origin
+        u = x + 1 - self.crpix[0]
+        v = y + 1 - self.crpix[1]
+        dx = np.zeros_like(u)
+        dy = np.zeros_like(v)
+        for (p, q), coeff in self._sip_a.items():
+            dx = dx + coeff * u**p * v**q
+        for (p, q), coeff in self._sip_b.items():
+            dy = dy + coeff * u**p * v**q
+        return x + dx + origin, y + dy + origin
+
+    # ------------------------------------------------------------------
+    # Gnomonic (TAN) projection, FITS convention: intermediate world
+    # coordinates (xi, eta) in degrees; native longitude of the celestial
+    # pole LONPOLE = 180 deg for |crval_dec| != 90.
+    # ------------------------------------------------------------------
+    def _tan_to_world(self, xi, eta):
+        xi = np.radians(xi)
+        eta = np.radians(eta)
+        ra0 = math.radians(self.crval[0])
+        dec0 = math.radians(self.crval[1])
+        # native spherical coordinates of the gnomonic projection
+        r = np.hypot(xi, eta)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            theta = np.arctan2(1.0, r)  # native latitude
+        phi = np.arctan2(xi, -eta)  # native longitude
+        sin_t, cos_t = np.sin(theta), np.cos(theta)
+        sin_d0, cos_d0 = math.sin(dec0), math.cos(dec0)
+        dec = np.arcsin(
+            np.clip(sin_t * sin_d0 - cos_t * np.cos(phi) * cos_d0, -1, 1)
+        )
+        ra = ra0 + np.arctan2(
+            cos_t * np.sin(phi), sin_t * cos_d0 + cos_t * np.cos(phi) * sin_d0
+        )
+        return np.degrees(ra) % 360.0, np.degrees(dec)
+
+    def _world_to_tan(self, ra, dec):
+        ra = np.radians(ra)
+        dec = np.radians(dec)
+        ra0 = math.radians(self.crval[0])
+        dec0 = math.radians(self.crval[1])
+        sin_d, cos_d = np.sin(dec), np.cos(dec)
+        sin_d0, cos_d0 = math.sin(dec0), math.cos(dec0)
+        cos_dra = np.cos(ra - ra0)
+        # native coordinates
+        theta = np.arcsin(
+            np.clip(sin_d * sin_d0 + cos_d * cos_d0 * cos_dra, -1, 1)
+        )
+        phi = np.arctan2(
+            cos_d * np.sin(ra - ra0),
+            cos_d * cos_dra * sin_d0 - sin_d * cos_d0,
+        )
+        with np.errstate(divide='ignore', invalid='ignore'):
+            r = 1.0 / np.tan(theta)
+        xi = r * np.sin(phi)
+        eta = -r * np.cos(phi)
+        return np.degrees(xi), np.degrees(eta)
