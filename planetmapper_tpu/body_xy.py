@@ -1081,7 +1081,23 @@ class BodyXY(Body):
         targvec, trgepc, found = self._engine.sincpt(
             self.et, self.radii, obsvec_norm, self.target_light_time
         )
-        return np.asarray(targvec)
+        targvec = np.asarray(targvec)
+        if self._optimize_speed:
+            # Behaviour parity with the reference's off-disc short circuit
+            # (body_xy.py:3200-3218): pixels beyond r_cutoff from the disc
+            # centre are excluded. Note the cutoff is computed from the
+            # *current* (possibly altitude-adjusted) radii ratio, exactly
+            # matching the reference - which means altitude-enlarged discs
+            # are clipped to the nominal disc radius, as in the reference's
+            # committed regression outputs.
+            r_cutoff = self._get_max_pixel_radius() * 1.05 + 1
+            xs = np.arange(self._nx, dtype=float) - self.get_x0()
+            ys = np.arange(self._ny, dtype=float) - self.get_y0()
+            r2 = xs[None, :] ** 2 + ys[:, None] ** 2
+            targvec = np.where(
+                (r2 > r_cutoff**2)[..., None], np.nan, targvec
+            )
+        return targvec
 
     @_cache_clearable_alt_dependent_result
     @progress_decorator
@@ -1314,7 +1330,9 @@ class BodyXY(Body):
     @_adjust_surface_altitude_decorator
     @_return_readonly_array
     def _get_limb_coordinate_maps(self, **map_kwargs) -> np.ndarray:
-        visible = self._get_illumf_map(**map_kwargs)[:, :, 3] > 0
+        # NOTE: the reference masks limb coordinate maps by the *lit* flag
+        # (illumf index 4, body_xy.py:3981), not the visible flag
+        visible = self._get_illumf_map(**map_kwargs)[:, :, 4] > 0
         obsvec_map = self._get_obsvec_map(**map_kwargs)
         lon, lat, dist = self._limb_coordinates_from_obsvec(obsvec_map)
         lon = np.where(visible, np.asarray(lon), np.nan)
@@ -1326,7 +1344,9 @@ class BodyXY(Body):
     @progress_decorator
     @_adjust_surface_altitude_decorator
     def _get_ring_plane_coordinate_maps(self, **map_kwargs):
-        visible = self._get_illumf_map(**map_kwargs)[:, :, 3] > 0
+        # NOTE: the reference masks ring plane maps by the *lit* flag
+        # (illumf index 4, body_xy.py:4097), not the visible flag
+        visible = self._get_illumf_map(**map_kwargs)[:, :, 4] > 0
         obsvec_map = self._get_obsvec_map(**map_kwargs)
         radius, lon, dist = self._ring_coordinates_from_obsvec(
             obsvec_map, only_visible=False
