@@ -35,7 +35,16 @@ if _cache_dir and _cache_dir.lower() != 'off':
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
-from .common import __author__, __description__, __url__, __version__, CITATION_STRING  # noqa: E402
+from .common import (  # noqa: E402
+    CITATION_BIBTEX,
+    CITATION_DOI,
+    CITATION_STRING,
+    __author__,
+    __description__,
+    __license__,
+    __url__,
+    __version__,
+)
 from .kernels.pool import (  # noqa: E402
     clear_kernels,
     get_kernel_path,
@@ -46,32 +55,64 @@ from .kernels.pool import (  # noqa: E402
 )
 
 __all__ = [
-    '__version__',
+    'run_gui',
     'set_kernel_path',
     'get_kernel_path',
     'load_kernels',
     'clear_kernels',
     'prevent_kernel_loading',
     'sort_kernel_paths',
+    'SpiceBase',
+    'Body',
+    'Backplane',
+    'BodyXY',
+    'Observation',
+    'BasicBody',
+    'AngularCoordinateKwargs',
+    'WireframeKwargs',
+    'WireframeComponent',
+    'DEFAULT_WIREFRAME_FORMATTING',
+    'MapKwargs',
+    'base',
+    'gui',
+    'utils',
+    'kernel_downloader',
+    'data_loader',
+    'CITATION_STRING',
+    'CITATION_DOI',
+    'CITATION_BIBTEX',
 ]
+
+_BODY_ATTRS = {
+    'Body', 'AngularCoordinateKwargs', 'WireframeKwargs',
+    'WireframeComponent', 'DEFAULT_WIREFRAME_FORMATTING', 'LonLatGridKwargs',
+}
+_BODY_XY_ATTRS = {'BodyXY', 'Backplane', 'BackplaneNotFoundError', 'MapKwargs'}
+_SUBMODULES = {
+    'base', 'body', 'basic_body', 'body_xy', 'observation', 'progress',
+    'utils', 'data_loader', 'kernel_downloader', 'cli', 'common',
+    'exceptions', 'pipeline', 'parallel', 'io', 'core', 'kernels', 'ops',
+}
 
 
 def __getattr__(name: str):
     # Lazy imports of the heavier API layers keep `import planetmapper_tpu`
-    # fast and avoid import cycles during incremental builds.
+    # fast and avoid import cycles. GUI access degrades gracefully when
+    # tkinter is unavailable (informative error at use time, like the
+    # reference's mock-module pattern).
     if name in ('SpiceBase', 'BodyBase'):
         from . import base
 
         return getattr(base, name)
-    if name == 'Body':
-        from .body import Body
+    if name in _BODY_ATTRS:
+        from . import body
 
-        return Body
+        return getattr(body, name)
     if name == 'BasicBody':
         from .basic_body import BasicBody
 
         return BasicBody
-    if name in ('BodyXY', 'Backplane', 'BackplaneNotFoundError', 'MapKwargs'):
+    if name in _BODY_XY_ATTRS:
         from . import body_xy
 
         return getattr(body_xy, name)
@@ -79,22 +120,17 @@ def __getattr__(name: str):
         from .observation import Observation
 
         return Observation
-    if name == 'AngularCoordinateKwargs':
-        from .body import AngularCoordinateKwargs
+    if name in ('gui', 'run_gui'):
+        try:
+            from . import gui
+        except ImportError as e:
+            from ._mock_gui_no_tk import get_mocks as _get_mocks
 
-        return AngularCoordinateKwargs
-    if name == 'WireframeKwargs':
-        from .body import WireframeKwargs
-
-        return WireframeKwargs
-    if name in ('base', 'body', 'basic_body', 'body_xy', 'observation',
-                'progress', 'utils', 'data_loader', 'kernel_downloader',
-                'gui', 'cli', 'common'):
+            gui_mock, run_gui_mock = _get_mocks(e)
+            return gui_mock if name == 'gui' else run_gui_mock
+        return gui if name == 'gui' else gui.run_gui
+    if name in _SUBMODULES:
         import importlib
 
         return importlib.import_module(f'.{name}', __name__)
-    if name == 'run_gui':
-        from .gui import run_gui
-
-        return run_gui
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -1040,6 +1040,29 @@ class BodyXY(Body):
             )
 
     # ------------------------------------------------------------------
+    # Fused pipeline (all backplanes in one device program)
+    # ------------------------------------------------------------------
+    def _get_pipeline_anchors(self):
+        anchors = self._stable_cache.get('pipeline anchors')
+        if anchors is None:
+            from .pipeline import compute_scene_anchors
+
+            anchors = compute_scene_anchors(self)
+            self._stable_cache['pipeline anchors'] = anchors
+        return anchors
+
+    def generate_backplanes_fused(self) -> dict[str, np.ndarray]:
+        """
+        Compute every default backplane image in one fused jitted device
+        program (the high-throughput path used for benchmarking and bulk
+        export; see :mod:`planetmapper_tpu.pipeline`). Values match the
+        individual ``get_*_img`` getters to ~1e-6 deg.
+        """
+        from .pipeline import compute_backplanes
+
+        return compute_backplanes(self)
+
+    # ------------------------------------------------------------------
     # Backplane image/map generation (batched device pipelines)
     # ------------------------------------------------------------------
     def _test_if_img_size_valid(self) -> bool:

@@ -51,6 +51,21 @@ class DAFFile:
 
 
 def read_daf(path: str) -> DAFFile:
+    """
+    Read a DAF file, preferring the native C++ reader when built (see
+    ``native/daf_reader.cpp``; disable with ``PLANETMAPPER_TPU_NATIVE=0``).
+    """
+    from . import daf_native
+
+    if daf_native.native_enabled():
+        native = daf_native.read_daf_native(path)
+        if native is not None:
+            return native
+    return read_daf_python(path)
+
+
+def read_daf_python(path: str) -> DAFFile:
+    """Pure-Python DAF parser (reference implementation for parity tests)."""
     with open(path, 'rb') as f:
         raw = f.read()
     if len(raw) < RECORD_SIZE:

@@ -1,0 +1,14 @@
+"""
+Multi-chip scaling: device meshes, sharded pipelines, gradient disc fitting
+and batched-time evaluation.
+"""
+
+from .sharding import make_mesh, sharded_backplanes
+from .fit import fit_disc_gradient, make_training_step
+
+__all__ = [
+    'make_mesh',
+    'sharded_backplanes',
+    'fit_disc_gradient',
+    'make_training_step',
+]

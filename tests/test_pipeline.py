@@ -1,0 +1,81 @@
+"""
+Fused-pipeline validation: the single-program backplane pipeline must match
+the exact per-plane getters (which in turn match CSPICE via the FITS
+regression tests).
+"""
+
+import numpy as np
+import pytest
+
+from common import setup_kernels
+
+from planetmapper_tpu import BodyXY
+
+
+@pytest.fixture(scope='module', autouse=True)
+def kernels():
+    setup_kernels()
+
+
+# Per-plane absolute tolerances for fused vs exact comparison. Angle planes
+# agree to ~1e-5 deg (linearisation truncation); km-valued distance planes
+# to tens of metres out of ~8e8 km (grazing-incidence light-time
+# convergence jitter, relative ~3e-11).
+TOLS = {
+    'DISTANCE': 0.05,
+    'RING-DISTANCE': 0.05,
+    'RING-RADIUS': 0.05,
+    'KM-X': 1e-4,
+    'KM-Y': 1e-4,
+    'LIMB-DISTANCE': 1e-4,
+    'RADIAL-VELOCITY': 1e-6,
+}
+
+
+def _compare(body):
+    fused = body.generate_backplanes_fused()
+    assert set(fused.keys()) == set(body.backplanes.keys())
+    for name, bp in body.backplanes.items():
+        exact = np.asarray(bp.get_img())
+        f = fused[name]
+        assert np.array_equal(np.isnan(exact), np.isnan(f)), (
+            f'{name}: NaN masks differ'
+        )
+        both = np.isfinite(exact)
+        if not both.any():
+            continue
+        diff = np.abs(exact[both] - f[both])
+        if 'LON' in name:
+            diff = np.minimum(diff, 360.0 - diff)
+        tol = TOLS.get(name, 5e-5)
+        assert diff.max() < tol, f'{name}: max diff {diff.max()}'
+
+
+class TestFusedPipeline:
+    def test_matches_exact_hst(self):
+        body = BodyXY(
+            'Jupiter', observer='HST', utc='2005-01-01T00:00:00', nx=15, ny=10
+        )
+        body.set_disc_params(7, 4.5, 4, 20.0)
+        _compare(body)
+
+    def test_matches_exact_earth(self):
+        body = BodyXY('Jupiter', utc='2005-01-01', nx=12, ny=12)
+        body.set_disc_params(6, 6, 5, 0.0)
+        _compare(body)
+
+    def test_matches_exact_saturn(self):
+        body = BodyXY('Saturn', utc='2000-01-01', nx=10, ny=10)
+        body.set_disc_params(5, 5, 3, 45.0)
+        _compare(body)
+
+    def test_disc_param_change_no_recompile(self):
+        from planetmapper_tpu import pipeline
+
+        body = BodyXY('Jupiter', utc='2005-01-01', nx=12, ny=12)
+        body.set_disc_params(6, 6, 5, 0.0)
+        body.generate_backplanes_fused()
+        n_compiled = len(pipeline._PIPELINE_CACHE)
+        body.set_disc_params(5.5, 6.2, 4.8, 12.0)
+        _compare(body)
+        assert len(pipeline._PIPELINE_CACHE) == n_compiled
