@@ -5,10 +5,12 @@ and batched-time evaluation.
 
 from .sharding import make_mesh, sharded_backplanes
 from .fit import fit_disc_gradient, make_training_step
+from .timeseries import backplane_time_series
 
 __all__ = [
     'make_mesh',
     'sharded_backplanes',
     'fit_disc_gradient',
     'make_training_step',
+    'backplane_time_series',
 ]

@@ -1,0 +1,208 @@
+"""Auxiliary subsystem tests: utils, data_loader, progress, io, exceptions."""
+
+import io as io_module
+import warnings
+
+import numpy as np
+import pytest
+
+from common import setup_kernels
+
+import planetmapper_tpu.data_loader as data_loader
+import planetmapper_tpu.progress as progress
+import planetmapper_tpu.utils as utils
+from planetmapper_tpu.exceptions import PlanetmapperWarning, warn
+from planetmapper_tpu.io import fits
+
+
+@pytest.fixture(scope='module', autouse=True)
+def kernels():
+    setup_kernels()
+
+
+class TestUtils:
+    def test_dms(self):
+        assert utils.decimal_degrees_to_dms(-11.111) == (-11, 6, pytest.approx(39.6))
+        assert utils.decimal_degrees_to_dms(0.5) == (0, 30, 0.0)
+        assert utils.decimal_degrees_to_dms(-0.5) == (0, -30, 0.0)
+        s = utils.decimal_degrees_to_dms_str(12.582222)
+        assert s.startswith('12°34′')
+
+    def test_normalise(self):
+        out = utils.normalise([1.0, 2.0, 3.0])
+        np.testing.assert_allclose(out, [0.0, 0.5, 1.0])
+        out = utils.normalise([1.0, 2.0], top=10, bottom=5)
+        np.testing.assert_allclose(out, [5.0, 10.0])
+        out = utils.normalise([2.0, 2.0], single_value=0.5)
+        np.testing.assert_allclose(out, [0.5, 0.5])
+
+    def test_wavelengths(self):
+        header = {
+            'CTYPE3': 'WAVE', 'NAXIS3': 4, 'CRVAL3': 10.0, 'CDELT3': 0.5,
+            'CRPIX3': 1,
+        }
+        np.testing.assert_allclose(
+            utils.generate_wavelengths_from_header(header),
+            [10.0, 10.5, 11.0, 11.5],
+        )
+        with pytest.raises(utils.GetWavelengthsError):
+            utils.generate_wavelengths_from_header({'CTYPE3': 'OTHER'})
+        with pytest.raises(utils.GetWavelengthsError):
+            utils.generate_wavelengths_from_header({})
+
+    def test_ignore_warnings(self):
+        with utils.ignore_warnings('test warning message'):
+            warnings.warn('test warning message')
+
+    def test_format_radec_axes(self):
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        utils.format_radec_axes(ax, -5.5)
+        assert ax.xaxis_inverted()
+        plt.close(fig)
+
+
+class TestDataLoader:
+    def test_ring_radii(self):
+        data = data_loader.get_ring_radii()
+        assert data['SATURN']['A'] == [122340.0, 136780.0]
+        assert data['JUPITER']['Halo'] == [89400.0, 123000.0]
+        # mutating the copy must not affect the cached data
+        data['SATURN']['A'][0] = -1
+        assert data_loader.get_ring_radii()['SATURN']['A'] == [
+            122340.0, 136780.0
+        ]
+
+    def test_ring_aliases(self):
+        aliases = data_loader.get_ring_aliases()
+        assert aliases['liberte'] == 'liberté'
+
+
+class TestProgress:
+    def test_hook_stack(self):
+        events = []
+
+        class Obj:
+            _progress_call_stack = []
+
+            def _get_progress_hook(self):
+                return lambda p, stack: events.append((p, list(stack)))
+
+            def _update_progress_hook(self, p):
+                self._get_progress_hook()(p, self._progress_call_stack)
+
+            @progress.progress_decorator
+            def run(self):
+                self._update_progress_hook(0.5)
+                return 42
+
+        assert Obj().run() == 42
+        fractions = [p for p, s in events]
+        assert fractions == [0.0, 0.5, 1.0]
+        assert all(s[-1].endswith('Obj.run') for p, s in events)
+
+    def test_timing_hook(self):
+        hook = progress.TotalTimingProgressHook()
+        hook(0.0, ['a'])
+        hook(0.5, ['a', 'b'])
+        hook(1.0, ['a'])
+        assert 'a' in hook.self_times() or 'b' in hook.self_times()
+        assert 'Timing summary' in hook.summary()
+
+    def test_weighted_hook(self):
+        parent_events = []
+        hook = progress.WeightedProgressHook(
+            {'a': 1.0, 'b': 3.0},
+            parent_hook=lambda p, s: parent_events.append(p),
+        )
+        hook(1.0, ['a'])
+        assert hook.overall_progress() == pytest.approx(0.25)
+        hook(0.5, ['x', 'b'])
+        assert hook.overall_progress() == pytest.approx(
+            (1.0 + 1.5) / 4.0
+        )
+        assert parent_events
+
+
+class TestExceptions:
+    def test_warn(self):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter('always')
+            warn('test message')
+        assert any(
+            issubclass(w.category, PlanetmapperWarning) for w in caught
+        )
+
+
+class TestFitsHeader:
+    def test_header_basics(self):
+        h = fits.Header({'A': 1, 'B': 'x'})
+        assert h['A'] == 1
+        assert h.get('MISSING', 'd') == 'd'
+        assert 'B' in h and 'C' not in h
+        h['C'] = (3.5, 'a comment')
+        assert h['C'] == 3.5
+        assert h.comments('C') == 'a comment'
+        h2 = h.copy()
+        h2['A'] = 2
+        assert h['A'] == 1
+        del h['A']
+        assert 'A' not in h
+
+    def test_hierarch(self):
+        h = fits.Header()
+        h['HIERARCH PLANMAP DISC X0'] = 1.25
+        assert h['PLANMAP DISC X0'] == 1.25
+        assert h['HIERARCH PLANMAP DISC X0'] == 1.25
+
+    def test_value_formats(self, tmp_path):
+        h = fits.Header()
+        h['INT'] = 42
+        h['FLOAT'] = 3.14159
+        h['BOOL_T'] = True
+        h['BOOL_F'] = False
+        h['STR'] = "it's a string"
+        h['BIGNUM'] = 1.5e-30
+        hdu = fits.PrimaryHDU(data=np.zeros((2, 2)), header=h)
+        path = str(tmp_path / 'fmt.fits')
+        fits.HDUList([hdu]).writeto(path)
+        h2 = fits.open(path)[0].header
+        assert h2['INT'] == 42
+        assert h2['FLOAT'] == pytest.approx(3.14159)
+        assert h2['BOOL_T'] is True
+        assert h2['BOOL_F'] is False
+        assert h2['STR'] == "it's a string"
+        assert h2['BIGNUM'] == pytest.approx(1.5e-30)
+
+    def test_int16_roundtrip(self, tmp_path):
+        data = np.array([[1, 2], [3, 4]], dtype=np.int16)
+        path = str(tmp_path / 'i16.fits')
+        fits.HDUList([fits.PrimaryHDU(data=data)]).writeto(path)
+        out = fits.open(path)[0].data
+        np.testing.assert_array_equal(out, data)
+
+
+class TestWcs:
+    def test_tan_roundtrip(self):
+        from planetmapper_tpu.io.wcs import WCS
+
+        h = fits.Header(
+            {
+                'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN',
+                'CRPIX1': 10, 'CRPIX2': 20, 'CRVAL1': 120.0, 'CRVAL2': -45.0,
+                'CDELT1': -0.001, 'CDELT2': 0.001, 'CROTA2': 30.0,
+            }
+        )
+        w = WCS(h)
+        for x, y in [(0.0, 0.0), (9.0, 19.0), (100.0, -50.0)]:
+            ra, dec = w.pixel_to_world_values(x, y)
+            x2, y2 = w.world_to_pixel_values(ra, dec)
+            assert x2 == pytest.approx(x, abs=1e-6)
+            assert y2 == pytest.approx(y, abs=1e-6)
+
+    def test_no_wcs(self):
+        from planetmapper_tpu.io.wcs import WCS
+
+        w = WCS(fits.Header({'A': 1}))
+        assert w.naxis == 0

@@ -89,3 +89,38 @@ class TestGradientFit:
             losses.append(float(loss))
         assert all(np.isfinite(losses))
         assert losses[-1] <= losses[0]
+
+
+class TestTimeSeries:
+    def test_batched_times(self):
+        from planetmapper_tpu.parallel import backplane_time_series
+
+        body = BodyXY('Jupiter', utc='2005-01-01T00:00:00', nx=12, ny=10)
+        body.set_disc_params(6, 5, 4, 0.0)
+        times = [
+            '2005-01-01T00:00:00', '2005-01-01T01:00:00',
+            '2005-01-01T02:00:00',
+        ]
+        out = backplane_time_series(
+            body, times, names=['EMISSION', 'LON-GRAPHIC']
+        )
+        assert out['EMISSION'].shape == (3, 10, 12)
+        fused = body.generate_backplanes_fused()
+        np.testing.assert_allclose(
+            out['EMISSION'][0], fused['EMISSION'], atol=1e-9, equal_nan=True
+        )
+        # Jupiter rotates ~36.27 deg of W longitude per hour
+        lon0, lon1 = out['LON-GRAPHIC'][0], out['LON-GRAPHIC'][1]
+        both = np.isfinite(lon0) & np.isfinite(lon1)
+        d = np.mod((lon1 - lon0)[both] + 180, 360) - 180
+        assert np.median(d) == pytest.approx(36.27, abs=0.05)
+
+    def test_sharded_over_time(self):
+        from planetmapper_tpu.parallel import backplane_time_series
+
+        body = BodyXY('Jupiter', utc='2005-01-01T00:00:00', nx=8, ny=8)
+        body.set_disc_params(4, 4, 3, 0.0)
+        mesh = make_mesh(4, axis_names=('data',))
+        times = [f'2005-01-01T0{i}:00:00' for i in range(4)]
+        out = backplane_time_series(body, times, names=['EMISSION'], mesh=mesh)
+        assert out['EMISSION'].shape == (4, 8, 8)
