@@ -22,9 +22,31 @@ jax.config.update('jax_enable_x64', True)
 # Persistent compilation cache: geometry pipelines are compiled once per
 # (machine, backend, shape) and reused across processes. XLA compile times
 # dominate cold-start otherwise.
+
+
+def _default_cache_dir() -> str:
+    # Isolate the cache per (jax version, host, CPU microarch): XLA:CPU AOT
+    # entries embed machine features, and reusing a cache written on a
+    # different microarchitecture triggers SIGILL-risk warnings at load.
+    import hashlib
+    import platform
+
+    key = f'{jax.__version__}-{platform.node()}-{platform.machine()}'
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('model name', 'flags')):
+                    key += line
+                    if line.startswith('flags'):
+                        break
+    except OSError:
+        key += platform.processor()
+    digest = hashlib.sha1(key.encode()).hexdigest()[:12]
+    return _os.path.expanduser(f'~/.cache/planetmapper_tpu/jax-{digest}')
+
+
 _cache_dir = _os.environ.get(
-    'PLANETMAPPER_TPU_COMPILATION_CACHE',
-    _os.path.expanduser('~/.cache/planetmapper_tpu/jax'),
+    'PLANETMAPPER_TPU_COMPILATION_CACHE', _default_cache_dir()
 )
 if _cache_dir and _cache_dir.lower() != 'off':
     try:
