@@ -111,6 +111,37 @@ def rect_to_geodetic(v, re, f):
     return lon, lat, alt
 
 
+def rect_to_geodetic_exterior(v, re, f, n_iter: int = 3):
+    """
+    Fast ``recpgr`` equivalent for points *outside* the spheroid (and
+    shallow-interior points): Bowring's method with geocentric
+    initialisation, which converges to machine precision in 2-3 iterations
+    everywhere outside the evolute. Much cheaper than the exact bisection
+    in :func:`rect_to_geodetic`, which remains the general-purpose path for
+    points deep inside the body.
+    """
+    x = v[..., 0]
+    y = v[..., 1]
+    z = v[..., 2]
+    rp = re * (1.0 - f)
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    lon = jnp.arctan2(y, x)
+    rho = jnp.hypot(x, y)
+    beta = jnp.arctan2(z, (1.0 - f) * rho)
+    lat = beta
+    for _ in range(n_iter):
+        sb = jnp.sin(beta)
+        cb = jnp.cos(beta)
+        lat = jnp.arctan2(z + ep2 * rp * sb**3, rho - e2 * re * cb**3)
+        beta = jnp.arctan2((1.0 - f) * jnp.sin(lat), jnp.cos(lat))
+    sin_lat = jnp.sin(lat)
+    cos_lat = jnp.cos(lat)
+    n = re / jnp.sqrt(1.0 - e2 * sin_lat * sin_lat)
+    alt = rho * cos_lat + z * sin_lat - n * (1.0 - e2 * sin_lat * sin_lat)
+    return lon, lat, alt
+
+
 def rect_to_latlon_centric(v):
     """``reclat`` equivalent: ``(radius, lon_e, lat_centric)``."""
     r = jnp.linalg.norm(v, axis=-1)

@@ -62,7 +62,7 @@ def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..pipeline import fused_backplanes_fn
+    from ..pipeline import DEFAULT_PRECISION, fused_backplanes_fn
 
     if mesh is None:
         mesh = make_mesh()
@@ -77,6 +77,7 @@ def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
         prograde=body.prograde,
         have_sun=body._engine._pos_s is not None,
         optimize_speed=bool(body._optimize_speed),
+        precision=getattr(body, '_pipeline_precision', DEFAULT_PRECISION),
     )
 
     def wrapped(xy2angular, disc, radii, anchors):

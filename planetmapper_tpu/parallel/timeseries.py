@@ -42,7 +42,7 @@ def backplane_time_series(
     import jax
     import jax.numpy as jnp
 
-    from ..pipeline import fused_backplanes_fn
+    from ..pipeline import DEFAULT_PRECISION, fused_backplanes_fn
 
     nx, ny = body.get_img_size()
     if nx <= 0 or ny <= 0:
@@ -65,6 +65,7 @@ def backplane_time_series(
         prograde=body.prograde,
         have_sun=body._engine._pos_s is not None,
         optimize_speed=bool(body._optimize_speed),
+        precision=getattr(body, '_pipeline_precision', DEFAULT_PRECISION),
     )
 
     def single(xy2ang_t, anchors_t):

@@ -31,6 +31,7 @@ gradient-based disc fitting (see :mod:`planetmapper_tpu.parallel.fit`).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import numpy as np
@@ -39,6 +40,14 @@ from .core.ephemeris import CLIGHT
 from .core import geometry as geom
 
 DEG = math.pi / 180.0
+
+#: Default numeric mode for the fused pipeline. ``'mixed'`` runs the
+#: per-pixel inner math in float32 on *recentred* (anchor-relative)
+#: coordinates with float64 mult-only Newton polishes and a handful of
+#: float64 transcendentals for parity-critical angles - ~20x faster than
+#: ``'double'`` on TPU (which has no hardware f64) while matching the
+#: reference FITS regression outputs at the same tolerances.
+DEFAULT_PRECISION = os.environ.get('PLANETMAPPER_TPU_PRECISION', 'mixed')
 
 
 def compute_scene_anchors(body) -> dict[str, np.ndarray]:
@@ -129,13 +138,18 @@ def _matvec(m, v):
     return jnp.einsum('...ij,...j->...i', m, v)
 
 
-def rect_to_geodetic_surface(v, re, f, n_iter: int = 4):
+def rect_to_geodetic_surface(v, re, f, n_iter: int = 1):
     """
-    Bowring geodetic conversion for points on (or near) the spheroid
-    surface: converges to machine precision in a few iterations for
-    |alt| << re, far cheaper than the exact bisection solve in
-    :func:`geometry.rect_to_geodetic` (which remains the general-purpose
-    path, valid deep inside the body).
+    Geodetic conversion for points on (or very near) the spheroid surface.
+
+    For a point exactly on the spheroid the geodetic latitude is closed
+    form - it is the direction of the surface normal ``(x/a^2, y/a^2,
+    z/b^2)`` - so ``lat = arctan2(z, rho (1-f)^2)`` with no iteration. One
+    Bowring iteration absorbs the tiny off-surface offsets that occur for
+    triaxial bodies (where the intercept ellipsoid differs from the
+    biaxial spheroid used for planetographic coordinates). Far cheaper
+    than the exact bisection solve in :func:`geometry.rect_to_geodetic`
+    (the general-purpose path, valid deep inside the body).
     """
     import jax.numpy as jnp
 
@@ -147,13 +161,13 @@ def rect_to_geodetic_surface(v, re, f, n_iter: int = 4):
     ep2 = e2 / (1.0 - e2)
     lon = jnp.arctan2(y, x)
     rho = jnp.hypot(x, y)
-    beta = jnp.arctan2(z, (1.0 - f) * rho)
-    lat = beta
+    omf2 = (1.0 - f) * (1.0 - f)
+    lat = jnp.arctan2(z, rho * omf2)  # exact for on-surface points
     for _ in range(n_iter):
+        beta = jnp.arctan2((1.0 - f) * jnp.sin(lat), jnp.cos(lat))
         sb = jnp.sin(beta)
         cb = jnp.cos(beta)
         lat = jnp.arctan2(z + ep2 * rp * sb**3, rho - e2 * re * cb**3)
-        beta = jnp.arctan2((1.0 - f) * jnp.sin(lat), jnp.cos(lat))
     sin_lat = jnp.sin(lat)
     cos_lat = jnp.cos(lat)
     n = re / jnp.sqrt(1.0 - e2 * sin_lat * sin_lat)
@@ -163,7 +177,7 @@ def rect_to_geodetic_surface(v, re, f, n_iter: int = 4):
 
 def fused_backplanes_fn(
     *, positive_west: bool, prograde: bool, have_sun: bool,
-    optimize_speed: bool = True,
+    optimize_speed: bool = True, precision: str = 'double',
 ):
     """
     Build the traced implementation computing all default backplanes.
@@ -171,7 +185,18 @@ def fused_backplanes_fn(
     ``params['nx']/['ny']`` are static grid dimensions baked at trace time
     via closure; call through :func:`get_fused_pipeline` which jits and
     caches per static configuration.
+
+    ``precision='double'`` is the straightforward all-float64 pipeline;
+    ``'mixed'`` is the TPU-optimised variant (see :func:`_mixed_impl`).
     """
+    if precision == 'mixed':
+        return _mixed_impl_fn(
+            positive_west=positive_west, prograde=prograde,
+            have_sun=have_sun, optimize_speed=optimize_speed,
+        )
+    if precision != 'double':
+        raise ValueError(f'unknown pipeline precision {precision!r}')
+
     import jax.numpy as jnp
     from jax import lax
 
@@ -372,7 +397,10 @@ def fused_backplanes_fn(
         )
         ring_ok = nxpts == 1
         ring_targvec = _obsvec2targvec_lin(anchors, intercept)
-        ring_lon_e, _ring_lat, ring_alt = geom.rect_to_geodetic(
+        # Ring intercepts are exterior (interior ones are always occluded by
+        # the surface hit and masked below), so the fast Bowring solve
+        # matches CSPICE recpgr to machine precision here.
+        ring_lon_e, _ring_lat, ring_alt = geom.rect_to_geodetic_exterior(
             ring_targvec, re, flattening
         )
         ring_distance = jnp.linalg.norm(intercept, axis=-1)
@@ -387,6 +415,469 @@ def fused_backplanes_fn(
         return out
 
     return impl
+
+
+def _mixed_impl_fn(
+    *, positive_west: bool, prograde: bool, have_sun: bool,
+    optimize_speed: bool = True,
+):
+    """
+    TPU-optimised mixed-precision pipeline.
+
+    TPU v5e emulates float64 in software: transcendentals/div/sqrt cost
+    ~10-40x a float64 multiply, while float32 is effectively free. This
+    implementation produces float64-grade backplanes while paying for only
+    ~9 emulated-f64 transcendentals per pixel (the parity-critical angle
+    outputs) plus a few hundred f64 multiplies:
+
+    - **Recentring (f64 preamble, polynomial only)**: all per-pixel
+      positions are expressed relative to per-scene anchors (the target
+      centre and the ray closest-approach point), so magnitudes drop from
+      ~1e9 km to ~1e5 km and no catastrophic cancellation remains. The ray
+      direction is built as ``boresight + delta`` with small-angle series
+      (exact to ~1e-15 for any realistic field of view), so the whole
+      preamble is f64 mul/add.
+    - **f32 light-time fixed point**: the per-pixel epoch offset ``dtau``
+      (range +-seconds) converges in 2 float32 iterations to ~2e-8 s -
+      far below what any output can resolve.
+    - **f64-by-Newton arithmetic**: divisions, square roots and norms use
+      float32 seeds refined by Newton-Raphson in f64 *multiplies*
+      (:mod:`..ops.fastmath`), never the emulated f64 div/sqrt.
+    - **f64 transcendentals only where parity demands**: longitude (also
+      feeding LOCAL-SOLAR-TIME, whose 1-second quantisation boundaries
+      need f64-exact longitude), latitudes, RA/Dec, azimuth's arccos and
+      the limb/ring angles. Phase/incidence/emission use the stable
+      half-angle form on f64-normalised-then-cast unit vectors in f32
+      (error ~5e-6 deg, well inside the 2e-5 deg regression tolerance).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .ops import fastmath as fm
+
+    def impl(nx, ny, xy2angular, disc, radii, anchors):
+        tau0 = anchors['tau0']
+        re = radii[0]
+        rp = radii[2]
+        flattening = (re - rp) / re
+        lon_sign = -1.0 if positive_west else 1.0
+
+        # ------- scene scalars (f64, negligible: not per-pixel) ----------
+        m_ang = anchors['obsvec2angular']
+        m0 = m_ang[0, :]  # boresight direction: e_x @ m_ang
+        targ_rel0 = anchors['targ_pos0'] - anchors['obs_pos']
+        targ_vel0 = anchors['targ_vel0']
+        o_j = -targ_rel0  # ray origin (observer) relative to target centre
+        t_ca0 = jnp.dot(targ_rel0, m0)  # closest-approach dist, boresight
+        q0 = o_j + t_ca0 * m0  # closest-approach offset, boresight
+        inv_radii = 1.0 / radii
+        sp_dist = anchors['subpoint_distance']
+        delta0 = sp_dist - t_ca0  # for dtau = (delta0 - t' - sigma)/c
+        sigma_nf = (
+            anchors['target_lt'] * CLIGHT - t_ca0
+        )  # effective sigma for off-disc pixels (lt := target_lt)
+        rot0 = anchors['rot0']
+        rot1 = anchors['rot1']
+        rot2h = 0.5 * anchors['rot2']
+        f32 = jnp.float32
+
+        # ------- f64 preamble: rays + recentred geometry (mul/add only) --
+        xg = lax.broadcasted_iota(jnp.float64, (ny, nx), 1)
+        yg = lax.broadcasted_iota(jnp.float64, (ny, nx), 0)
+        ang_x = (
+            xy2angular[0, 0] * xg + xy2angular[0, 1] * yg + xy2angular[0, 2]
+        )
+        ang_y = (
+            xy2angular[1, 0] * xg + xy2angular[1, 1] * yg + xy2angular[1, 2]
+        )
+        a = -ang_x * (DEG / 3600.0)
+        b = ang_y * (DEG / 3600.0)
+        # Small-angle series for the ray deviation from the boresight
+        # (|a|,|b| < ~0.05 rad for any plausible frame; error < 1e-17)
+        a2 = a * a
+        b2 = b * b
+        sa = a * (1.0 + a2 * (-1.0 / 6.0 + a2 * (1.0 / 120.0 - a2 / 5040.0)))
+        sb = b * (1.0 + b2 * (-1.0 / 6.0 + b2 * (1.0 / 120.0 - b2 / 5040.0)))
+        dca = a2 * (-0.5 + a2 * (1.0 / 24.0 - a2 / 720.0))  # cos(a) - 1
+        dcb = b2 * (-0.5 + b2 * (1.0 / 24.0 - b2 / 720.0))
+        dvx = dca + dcb + dca * dcb  # cos(a)cos(b) - 1
+        dvy = sa * (1.0 + dcb)
+        dvz = sb
+        # delta-ray in the J2000 obsvec frame: dvec @ m_ang
+        dd = jnp.stack(
+            [
+                dvx * m_ang[0, 0] + dvy * m_ang[1, 0] + dvz * m_ang[2, 0],
+                dvx * m_ang[0, 1] + dvy * m_ang[1, 1] + dvz * m_ang[2, 1],
+                dvx * m_ang[0, 2] + dvy * m_ang[1, 2] + dvz * m_ang[2, 2],
+            ],
+            axis=-1,
+        )
+        d_j = m0 + dd  # unit ray, J2000 (f64)
+        tp = fm.dot3(jnp.broadcast_to(targ_rel0, dd.shape), dd)  # t_ca - t0
+        q_j = (
+            q0
+            + t_ca0 * dd
+            + tp[..., None] * m0
+            + tp[..., None] * dd
+        )  # ray closest-approach point relative to target centre (~1e5 km)
+
+        # ------- f32 fixed point for the light-time epoch offset ---------
+        rot0_32 = rot0.astype(f32)
+        rot1_32 = rot1.astype(f32)
+        rot2h_32 = rot2h.astype(f32)
+        q32 = q_j.astype(f32)
+        d32 = d_j.astype(f32)
+        v32 = targ_vel0.astype(f32)
+        inv_r32 = inv_radii.astype(f32)
+        re32 = re.astype(f32)
+        dtau_base = ((delta0 - tp) * (1.0 / CLIGHT)).astype(f32)
+        sigma_nf32 = (sigma_nf - tp).astype(f32)
+        dtau = dtau_base
+        # 3 f32 iterations + the f64 evaluation below = the same 4-step
+        # fixed point as the 'double' pipeline. Near the limb the grazing
+        # geometry amplifies the contraction factor (v/c -> v/(c cos e)),
+        # so fewer iterations visibly under-converge there.
+        for _ in range(3):
+            rot = (
+                rot0_32
+                + rot1_32 * dtau[..., None, None]
+                + rot2h_32 * (dtau * dtau)[..., None, None]
+            )
+            q_t = q32 - v32 * dtau[..., None]
+            q_bf = _matvec(rot, q_t)
+            d_bf = _matvec(rot, d32)
+            u = q_bf * inv_r32
+            v = d_bf * (re32 * inv_r32)
+            qa = fm.dot3(v, v)
+            qb = fm.dot3(u, v)
+            qc = fm.dot3(u, u) - 1.0
+            dsc = qb * qb - qa * qc
+            ok = dsc >= 0.0
+            sig = (
+                (-qb - jnp.sqrt(jnp.where(ok, dsc, 0.0))) / qa * re32
+            )
+            sig = jnp.where(ok, sig, sigma_nf32)
+            dtau = dtau_base - sig * f32(1.0 / CLIGHT)
+
+        dtau = dtau.astype(jnp.float64)
+
+        # ------- f64 intercept via Newton-refined arithmetic --------------
+        rot = (
+            rot0
+            + rot1 * dtau[..., None, None]
+            + rot2h * (dtau * dtau)[..., None, None]
+        )
+        q_t = q_j - targ_vel0 * dtau[..., None]
+        q_bf = _matvec(rot, q_t)
+        d_bf = _matvec(rot, d_j)
+        u = q_bf * inv_radii
+        v = d_bf * (re * inv_radii)
+        qa = fm.dot3(v, v)
+        qb = fm.dot3(u, v)
+        qc = fm.dot3(u, u) - 1.0
+        dsc = qb * qb - qa * qc
+        found = dsc >= 0.0
+        sigma = (-qb - fm.sqrt64(jnp.where(found, dsc, 0.0))) * fm.recip64(
+            qa
+        ) * re
+        dist = t_ca0 + tp + sigma  # observer -> surface distance
+        found = found & (dist >= 0.0)
+        sigma = jnp.where(found, sigma, jnp.nan)
+        spoint = q_bf + sigma[..., None] * d_bf  # body-fixed, on surface
+        dist = jnp.where(found, dist, anchors['target_lt'] * CLIGHT)
+
+        if optimize_speed:
+            x0 = disc[0]
+            y0 = disc[1]
+            r0 = disc[2]
+            r_cutoff = r0 * jnp.max(radii) / re * 1.05 + 1.0
+            r2_px = (xg - x0) ** 2 + (yg - y0) ** 2
+            off = r2_px > r_cutoff**2
+            spoint = jnp.where(off[..., None], jnp.nan, spoint)
+            found = found & ~off
+
+        spoint = jnp.where(found[..., None], spoint, jnp.nan)
+
+        # Post-loop epoch update, exactly like the 'double' pipeline: the
+        # illumination/state sections evaluate at dtau_4 = f(sigma) while
+        # the intercept itself used rot(dtau_3)
+        dtau = (sp_dist - dist) * (1.0 / CLIGHT)
+        rot4 = (
+            rot0
+            + rot1 * dtau[..., None, None]
+            + rot2h * (dtau * dtau)[..., None, None]
+        )
+
+        out: dict[str, Any] = {}
+
+        # ------- lon/lat (1 arctan2 each; Bowring step is trig-free) ------
+        px = spoint[..., 0]
+        py = spoint[..., 1]
+        pz = spoint[..., 2]
+        rho = fm.hypot64(px, py)
+        lon_e = jnp.arctan2(py, px)  # [f64 T1]
+        e2 = flattening * (2.0 - flattening)
+        ep2 = e2 / (1.0 - e2)
+        omf = 1.0 - flattening
+        # reduced latitude from the closed-form surface latitude, trig-free:
+        # tan(beta) = z / (rho (1-f)); one Bowring step absorbs the tiny
+        # off-spheroid offsets of triaxial bodies
+        w = rho * omf
+        rb = fm.rsqrt64(pz * pz + w * w)
+        sin_b = pz * rb
+        cos_b = w * rb
+        lat_gd = jnp.arctan2(  # [f64 T2]
+            pz + ep2 * (re * omf) * sin_b * sin_b * sin_b,
+            rho - e2 * re * cos_b * cos_b * cos_b,
+        )
+        lon_graphic = _mod360(lon_sign * lon_e * (1.0 / DEG))
+        out['LON-GRAPHIC'] = jnp.where(found, lon_graphic, jnp.nan)
+        out['LAT-GRAPHIC'] = jnp.where(found, lat_gd * (1.0 / DEG), jnp.nan)
+        lat_c = jnp.arctan2(pz, rho)  # [f64 T3]
+        out['LON-CENTRIC'] = jnp.where(
+            found, _mod360(lon_e * (1.0 / DEG)), jnp.nan
+        )
+        out['LAT-CENTRIC'] = jnp.where(found, lat_c * (1.0 / DEG), jnp.nan)
+
+        # ------- RA/Dec of the rays (f64: values can sit near 0 deg) ------
+        ra = jnp.arctan2(d_j[..., 1], d_j[..., 0])  # [f64 T4]
+        ra = jnp.where(ra < 0.0, ra + 2.0 * jnp.pi, ra)
+        dec = jnp.arctan2(
+            d_j[..., 2], fm.hypot64(d_j[..., 0], d_j[..., 1])
+        )  # [f64 T5]
+        out['RA'] = ra * (1.0 / DEG)
+        out['DEC'] = dec * (1.0 / DEG)
+
+        # ------- pixel / km / angular (f64 affine, cheap) ------------------
+        out['PIXEL-X'] = xg
+        out['PIXEL-Y'] = yg
+        m2 = anchors['angular2km']
+        km_x = m2[0, 0] * ang_x + m2[0, 1] * ang_y
+        km_y = m2[1, 0] * ang_x + m2[1, 1] * ang_y
+        out['KM-X'] = km_x
+        out['KM-Y'] = km_y
+        km_per_arcsec = 2.0 * re / (
+            2.0 * 60.0 * 60.0 / DEG * jnp.arcsin(
+                re / (anchors['target_lt'] * CLIGHT)
+            )
+        )  # scalar
+        inv_kpa = 1.0 / km_per_arcsec
+        out['ANGULAR-X'] = km_x * inv_kpa
+        out['ANGULAR-Y'] = km_y * inv_kpa
+
+        # ------- illumination ---------------------------------------------
+        bf2j = jnp.swapaxes(rot4, -1, -2)
+        point_j = _matvec(bf2j, spoint)
+        srfvec_j = targ_rel0 + targ_vel0 * dtau[..., None] + point_j
+        inv_dist = fm.recip64(dist)
+        rhat = srfvec_j * inv_dist[..., None]  # unit obs->surface (f64)
+        if have_sun:
+            point_ssb = (
+                anchors['targ_pos0'] + targ_vel0 * dtau[..., None] + point_j
+            )
+            lt_s = fm.norm3_64(anchors['sun_pos0'] - point_ssb) * (
+                1.0 / CLIGHT
+            )
+            sun_dtau = (tau0 - anchors['sun_epoch0']) + dtau - lt_s
+            sun_pos = anchors['sun_pos0'] + anchors['sun_vel0'] * (
+                sun_dtau[..., None]
+            )
+            sun_dir = sun_pos - point_ssb
+            u_sun = fm.normalize3_64(sun_dir)
+        else:
+            u_sun = jnp.full_like(spoint, jnp.nan)
+        n_bf = spoint * (inv_radii * inv_radii)
+        n_bf = fm.normalize3_64(n_bf)
+        n_j = _matvec(bf2j, n_bf)  # unit surface normal, J2000 (f64)
+        u_obs = -rhat
+
+        # angle outputs: stable half-angle form in f32 on f64 unit vectors
+        us32 = u_sun.astype(f32)
+        uo32 = u_obs.astype(f32)
+        nj32 = n_j.astype(f32)
+        phase = geom.vector_separation(us32, uo32).astype(jnp.float64) * (
+            1.0 / DEG
+        )
+        incidence = geom.vector_separation(nj32, us32).astype(
+            jnp.float64
+        ) * (1.0 / DEG)
+        emission = geom.vector_separation(nj32, uo32).astype(
+            jnp.float64
+        ) * (1.0 / DEG)
+        out['PHASE'] = phase
+        out['INCIDENCE'] = incidence
+        out['EMISSION'] = emission
+
+        # azimuth needs f64 cosines: its formula amplifies input error near
+        # the sub-solar/sub-observer points (sin i, sin e -> 0)
+        cp = fm.dot3(u_sun, u_obs)
+        ci = fm.dot3(n_j, u_sun)
+        ce = fm.dot3(n_j, u_obs)
+        den2 = (1.0 - ce * ce) * (1.0 - ci * ci)
+        den = fm.sqrt64(jnp.maximum(den2, 0.0))
+        # den clamp keeps the recip64 f32 seed in range; den below it means
+        # exactly-degenerate geometry and the huge arg clips to +-1 anyway
+        arg = (cp - ce * ci) * fm.recip64(jnp.maximum(den, 1e-30))
+        azimuth = (
+            jnp.pi - jnp.arccos(jnp.clip(arg, -1.0, 1.0))  # [f64 T6]
+        ) * (1.0 / DEG)
+        out['AZIMUTH'] = azimuth
+
+        # ------- local solar time (from the f64 longitude) ----------------
+        spin_sign = 1.0 if prograde else -1.0
+        lst = 12.0 + spin_sign * (lon_e - anchors['solar_lon_e']) * (
+            12.0 / jnp.pi
+        )
+        lst = jnp.where(lst < 0.0, lst + 24.0, lst)
+        lst = jnp.where(lst < 0.0, lst + 24.0, lst)
+        lst = jnp.where(lst >= 24.0, lst - 24.0, lst)
+        lst = jnp.where(lst >= 24.0, lst - 24.0, lst)
+        lst = jnp.floor(lst * 3600.0) / 3600.0
+        out['LOCAL-SOLAR-TIME'] = jnp.where(found, lst, jnp.nan)
+
+        # ------- state: distance / radial velocity / doppler ---------------
+        dist_surface = jnp.where(found, dist, jnp.nan)
+        out['DISTANCE'] = dist_surface
+        rot_dot = rot1 + anchors['rot2'] * dtau[..., None, None]
+        bf2j_dot = jnp.swapaxes(rot_dot, -1, -2)
+        p_vel = targ_vel0 + _matvec(bf2j_dot, spoint)
+        # all mul/add + one Newton reciprocal: keep f64 (sub-mm/s accuracy)
+        obs_vel = anchors['obs_vel']
+        rv_t = fm.dot3(rhat, p_vel)
+        rv_o = fm.dot3(rhat, jnp.broadcast_to(obs_vel, rhat.shape))
+        dltdt = (rv_t - rv_o) * fm.recip64(CLIGHT + rv_t)
+        vel = p_vel * (1.0 - dltdt)[..., None] - obs_vel
+        radial_velocity = jnp.where(found, fm.dot3(rhat, vel), jnp.nan)
+        out['RADIAL-VELOCITY'] = radial_velocity
+        beta = radial_velocity / CLIGHT
+        out['DOPPLER'] = jnp.sqrt((1.0 + beta) / (1.0 - beta))
+
+        # ------- limb coordinates (f64 mults; LIMB-DISTANCE is cm-level) --
+        o_t = anchors['target_obsvec']
+        a_dot = fm.dot3(jnp.broadcast_to(o_t, dd.shape), dd)  # o_t . dd
+        a0 = jnp.dot(o_t, m0)  # scalar
+        # near - o_t, assembled from small recentred terms (~1e5 km)
+        p_off = (
+            (a0 * m0 - o_t)
+            + a0 * dd
+            + a_dot[..., None] * m0
+            + a_dot[..., None] * dd
+        )
+        near_dist = fm.norm3_64(p_off)
+        off = p_off + (o_t - anchors['subpoint_obsvec'])
+        # |(-subpoint_rayvec) + off| - subpoint_distance, cancellation-free:
+        # (2 A.off + |off|^2) / (|A + off| + |A|) with |A| = sp_dist
+        amo = fm.dot3(jnp.broadcast_to(-anchors['subpoint_rayvec'], off.shape),
+                      off)
+        num_l = 2.0 * amo + fm.dot3(off, off)
+        r1 = num_l * fm.recip64(2.0 * sp_dist)
+        dist_offset = num_l * fm.recip64(2.0 * sp_dist + r1)
+        dtau_l = -dist_offset * (1.0 / CLIGHT)
+        rot_l = (
+            rot0
+            + rot1 * dtau_l[..., None, None]
+            + rot2h * (dtau_l * dtau_l)[..., None, None]
+        )
+        near_targvec = anchors['subpoint_targvec'] + _matvec(rot_l, off)
+        nt_scaled = near_targvec * inv_radii
+        scale_l = fm.rsqrt64(fm.dot3(nt_scaled, nt_scaled))
+        limb_surface = near_targvec * scale_l[..., None]
+        lx = limb_surface[..., 0]
+        ly = limb_surface[..., 1]
+        lz = limb_surface[..., 2]
+        lrho = fm.hypot64(lx, ly)
+        limb_lon_e = jnp.arctan2(ly, lx)  # [f64 T7]
+        lw = lrho * omf
+        lrb = fm.rsqrt64(lz * lz + lw * lw)
+        lsb = lz * lrb
+        lcb = lw * lrb
+        limb_lat = jnp.arctan2(  # [f64 T8]
+            lz + ep2 * (re * omf) * lsb * lsb * lsb,
+            lrho - e2 * re * lcb * lcb * lcb,
+        )
+        out['LIMB-LON-GRAPHIC'] = _mod360(lon_sign * limb_lon_e * (1.0 / DEG))
+        out['LIMB-LAT-GRAPHIC'] = limb_lat * (1.0 / DEG)
+        out['LIMB-DISTANCE'] = near_dist - fm.norm3_64(limb_surface)
+
+        # ------- ring plane -------------------------------------------------
+        rn = anchors['ring_plane_normal']
+        denom_r = jnp.dot(rn, m0) + fm.dot3(
+            jnp.broadcast_to(rn, dd.shape), dd
+        )
+        in_plane = (jnp.abs(denom_r) == 0.0) & (
+            jnp.abs(anchors['ring_plane_constant']) == 0.0
+        )
+        parallel = (jnp.abs(denom_r) == 0.0) & ~in_plane
+        denom_safe = jnp.where(
+            jnp.abs(denom_r) > 1e-30, denom_r,
+            jnp.where(denom_r < 0.0, -1e-30, 1e-30),
+        )
+        s_r = anchors['ring_plane_constant'] * fm.recip64(denom_safe)
+        ring_ok = (~parallel) & (~in_plane) & (s_r >= 0.0)
+        # intercept relative to the subpoint (f64: the ~1e-16 relative
+        # rounding of the big intermediate is ~1e-7 km, far below tolerance)
+        off_r = s_r[..., None] * d_j - anchors['subpoint_obsvec']
+        amo_r = fm.dot3(
+            jnp.broadcast_to(-anchors['subpoint_rayvec'], off_r.shape), off_r
+        )
+        num_r = 2.0 * amo_r + fm.dot3(off_r, off_r)
+        r1_r = num_r * fm.recip64(2.0 * sp_dist)
+        dist_offset_r = num_r * fm.recip64(2.0 * sp_dist + r1_r)
+        dtau_r = -dist_offset_r * (1.0 / CLIGHT)
+        rot_r = (
+            rot0
+            + rot1 * dtau_r[..., None, None]
+            + rot2h * (dtau_r * dtau_r)[..., None, None]
+        )
+        ring_targvec = anchors['subpoint_targvec'] + _matvec(rot_r, off_r)
+        rx = ring_targvec[..., 0]
+        ry = ring_targvec[..., 1]
+        rz = ring_targvec[..., 2]
+        rrho = fm.hypot64(rx, ry)
+        ring_lon_e = jnp.arctan2(ry, rx)  # [f64 T9]
+        # Bowring (trig-free, geocentric init + 2 steps) for the exterior
+        # ring points; converges to machine precision there
+        rw = rrho * omf
+        rrb = fm.rsqrt64(rz * rz + rw * rw)
+        rsb = rz * rrb
+        rcb = rw * rrb
+        for _ in range(2):
+            rnum = rz + ep2 * (re * omf) * rsb * rsb * rsb
+            rden = rrho - e2 * re * rcb * rcb * rcb
+            rr2 = fm.rsqrt64(rnum * rnum + rden * rden)
+            rsl = rnum * rr2  # sin(lat)
+            rcl = rden * rr2  # cos(lat)
+            rb2 = fm.rsqrt64(omf * omf * rsl * rsl + rcl * rcl)
+            rsb = omf * rsl * rb2
+            rcb = rcl * rb2
+        rnum = rz + ep2 * (re * omf) * rsb * rsb * rsb
+        rden = rrho - e2 * re * rcb * rcb * rcb
+        rr2 = fm.rsqrt64(rnum * rnum + rden * rden)
+        rsl = rnum * rr2
+        rcl = rden * rr2
+        n_r = re * fm.rsqrt64(1.0 - e2 * rsl * rsl)
+        ring_alt = rrho * rcl + rz * rsl - n_r * (1.0 - e2 * rsl * rsl)
+        ring_distance = s_r  # |s * d| with |d| = 1
+        ring_radius = ring_alt + re
+        ring_lon = _mod360(lon_sign * ring_lon_e * (1.0 / DEG))
+        hidden = found & (dist_surface < ring_distance)
+        ring_invalid = (~ring_ok) | hidden
+        out['RING-RADIUS'] = jnp.where(ring_invalid, jnp.nan, ring_radius)
+        out['RING-LON-GRAPHIC'] = jnp.where(ring_invalid, jnp.nan, ring_lon)
+        out['RING-DISTANCE'] = jnp.where(ring_invalid, jnp.nan, ring_distance)
+
+        return out
+
+    return impl
+
+
+def _mod360(x):
+    """x mod 360 for x in (-720, 720), branch-free (f64 mod is emulated)."""
+    import jax.numpy as jnp
+
+    x = jnp.where(x < 0.0, x + 360.0, x)
+    x = jnp.where(x < 0.0, x + 360.0, x)
+    return jnp.where(x >= 360.0, x - 360.0, x)
 
 
 def _obsvec2targvec_lin(anchors, obsvec):
@@ -413,11 +904,12 @@ def get_fused_pipeline(body, nx: int, ny: int):
     """
     import jax
 
+    precision = getattr(body, '_pipeline_precision', DEFAULT_PRECISION)
     key = (
         body.target_body_id, body._observer_body_id,
         body.aberration_correction, body.positive_longitude_direction,
         body.prograde, body._engine._pos_s is not None,
-        bool(body._optimize_speed), nx, ny,
+        bool(body._optimize_speed), nx, ny, precision,
     )
     fn = _PIPELINE_CACHE.get(key)
     if fn is None:
@@ -426,6 +918,7 @@ def get_fused_pipeline(body, nx: int, ny: int):
             prograde=body.prograde,
             have_sun=body._engine._pos_s is not None,
             optimize_speed=bool(body._optimize_speed),
+            precision=precision,
         )
 
         def wrapped(xy2angular, disc, radii, anchors):
