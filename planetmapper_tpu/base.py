@@ -49,6 +49,20 @@ _KERNEL_HELP_TEXT = (
 )
 
 
+def _kernel_error_help_note() -> str:
+    """
+    Kernel-troubleshooting note appended to kernel-data errors (parity with
+    the reference's SPICE-error help decorator, base.py:141-171): states the
+    resolved kernel directory and *why* that directory was chosen.
+    """
+    path, source = get_kernel_path(return_source=True)
+    return (
+        f'{_KERNEL_HELP_TEXT}\n'
+        f'Kernel directory path: {path}\n'
+        f'Kernel path source: {source}'
+    )
+
+
 class SpiceError(Exception):
     """Base error for kernel-data problems (parity with SpiceyPyError)."""
 
@@ -489,8 +503,7 @@ class BodyBase(SpiceBase):
             )
         except InsufficientDataError as exc:
             raise SpiceError(
-                str(exc) + '\n\n' + _KERNEL_HELP_TEXT
-                + f'\nKernel directory path: {get_kernel_path()}'
+                str(exc) + '\n\n' + _kernel_error_help_note()
             ) from exc
         state = np.asarray(state)
         self._target_obsvec = state[:3]

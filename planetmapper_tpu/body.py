@@ -158,13 +158,21 @@ class _AdjustedSurfaceAltitude:
     def __enter__(self) -> None:
         if self.do_adjustment:
             self.original_radii = self.body.radii
-            self.body._assign_radius_values(self.original_radii + self.alt)
+            self.change_radii(self.original_radii + self.alt)
             self.body._alt_adjustment = self.alt
 
     def __exit__(self, exc_type, exc_val, exc_tb) -> None:
         if self.do_adjustment:
-            self.body._assign_radius_values(self.original_radii)
+            self.change_radii(self.original_radii)
             self.body._alt_adjustment = 0.0
+
+    def change_radii(self, radii: np.ndarray) -> None:
+        """
+        Apply new radii to the body (API parity with the reference's
+        kernel-pool update, body.py:226; here radii are traced pipeline
+        arguments so the swap is just attribute assignment).
+        """
+        self.body._assign_radius_values(np.asarray(radii, dtype=float))
 
 
 def _adjust_surface_altitude_decorator(fn):
@@ -308,7 +316,11 @@ class Body(BodyBase):
         try:
             self._scene = self._engine.scene_constants(self.et, self.radii)
         except InsufficientDataError as exc:
-            raise SpiceError(str(exc)) from exc
+            from .base import _kernel_error_help_note
+
+            raise SpiceError(
+                str(exc) + '\n\n' + _kernel_error_help_note()
+            ) from exc
 
         # Sub-observer point attributes (reference body.py:538-555)
         self._subpoint_targvec = self._scene['subpoint_targvec']

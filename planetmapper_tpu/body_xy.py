@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import warnings
 from typing import Any, Callable, Literal, NamedTuple, Protocol, TypedDict
 
@@ -681,7 +682,16 @@ class BodyXY(Body):
         monotonic PCHIP-based 'smooth' mode).
         """
         img = np.asarray(img)
-        if img.ndim == 3:
+        use_device = os.environ.get(
+            'PLANETMAPPER_TPU_MAP_DEVICE', 'on'
+        ).lower() not in ('off', '0', 'false')
+        spline_k = {'linear': 1, 'quadratic': 2, 'cubic': 3}
+        if interpolation in spline_k:
+            interpolation = spline_k[interpolation]  # type: ignore[assignment]
+
+        if img.ndim == 3 and not (
+            use_device and isinstance(interpolation, (int, tuple))
+        ):
             return np.array(
                 [
                     self.map_img(
@@ -697,7 +707,7 @@ class BodyXY(Body):
                     for img_slice in img
                 ]
             )
-        if img.shape != (self._ny, self._nx):
+        if img.shape[-2:] != (self._ny, self._nx):
             raise ValueError(
                 f'The input `img` shape {img.shape!r} is inconsistent with '
                 f'the body\'s image size (ny={self._ny}, nx={self._nx})'
@@ -707,15 +717,26 @@ class BodyXY(Body):
         y_map = np.asarray(self.get_y_map(**map_kwargs))
         projected = self._make_empty_map(**map_kwargs)
 
-        spline_k = {'linear': 1, 'quadratic': 2, 'cubic': 3}
-        if interpolation in spline_k:
-            interpolation = spline_k[interpolation]  # type: ignore[assignment]
-
         from .ops import interp
 
         if interpolation == 'nearest':
+            if use_device:
+                from .ops import interp_device
+
+                return interp_device.nearest_interpolation_device(
+                    img, x_map, y_map
+                )
             interp.nearest_interpolation(img, x_map, y_map, projected)
         elif isinstance(interpolation, (int, tuple)):
+            if use_device:
+                from .ops import interp_device
+
+                return interp_device.spline_interpolation_device(
+                    img, x_map, y_map,
+                    interpolation=interpolation, warn_nan=warn_nan,
+                    propagate_nan=propagate_nan,
+                    spline_smoothing=spline_smoothing,
+                )
             interp.spline_interpolation(
                 img, x_map, y_map, projected,
                 interpolation=interpolation, warn_nan=warn_nan,

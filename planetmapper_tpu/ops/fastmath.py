@@ -29,7 +29,8 @@ def recip64(x):
     division by zero anyway).
     """
     r = (1.0 / x.astype(jnp.float32)).astype(jnp.float64)
-    r = r * (2.0 - x * r)
+    # One NR step: the 24-bit seed's error squares to ~2^-48, i.e. ~3e-15
+    # relative - ample for every pipeline use (needs ~1e-10 at most)
     r = r * (2.0 - x * r)
     return r
 
@@ -54,8 +55,7 @@ def rsqrt64(x):
 
     seed = jnp.clip(x, 1e-37, 1e37).astype(jnp.float32)
     r = lax.rsqrt(seed).astype(jnp.float64)
-    r = r * (1.5 - 0.5 * x * r * r)
-    r = r * (1.5 - 0.5 * x * r * r)
+    r = r * (1.5 - 0.5 * x * r * r)  # ~3e-15 relative after one NR step
     return r
 
 
@@ -67,10 +67,7 @@ def sqrt64(x):
     clamps discriminants before sqrt).
     """
     r = rsqrt64(jnp.where(x > 0.0, x, 1.0))
-    s = x * r
-    # Residual polish: s <- s + (x - s^2) * (r / 2)
-    s = s + (x - s * s) * (0.5 * r)
-    return jnp.where(x > 0.0, s, 0.0)
+    return jnp.where(x > 0.0, x * r, 0.0)
 
 
 def dot3(a, b):

@@ -200,7 +200,7 @@ def fused_backplanes_fn(
     import jax.numpy as jnp
     from jax import lax
 
-    def impl(nx, ny, xy2angular, disc, radii, anchors):
+    def impl(nx, ny, xy2angular, disc, radii, anchors, row0=0.0):
         et = anchors['et']
         tau0 = anchors['tau0']
         re = radii[0]
@@ -210,7 +210,7 @@ def fused_backplanes_fn(
 
         # -- pixel grid -> angular -> obsvec_norm rays ---------------------
         xg = lax.broadcasted_iota(jnp.float64, (ny, nx), 1)
-        yg = lax.broadcasted_iota(jnp.float64, (ny, nx), 0)
+        yg = lax.broadcasted_iota(jnp.float64, (ny, nx), 0) + row0
         ang_x = (
             xy2angular[0, 0] * xg + xy2angular[0, 1] * yg + xy2angular[0, 2]
         )
@@ -455,7 +455,7 @@ def _mixed_impl_fn(
 
     from .ops import fastmath as fm
 
-    def impl(nx, ny, xy2angular, disc, radii, anchors):
+    def impl(nx, ny, xy2angular, disc, radii, anchors, row0=0.0):
         tau0 = anchors['tau0']
         re = radii[0]
         rp = radii[2]
@@ -483,7 +483,7 @@ def _mixed_impl_fn(
 
         # ------- f64 preamble: rays + recentred geometry (mul/add only) --
         xg = lax.broadcasted_iota(jnp.float64, (ny, nx), 1)
-        yg = lax.broadcasted_iota(jnp.float64, (ny, nx), 0)
+        yg = lax.broadcasted_iota(jnp.float64, (ny, nx), 0) + row0
         ang_x = (
             xy2angular[0, 0] * xg + xy2angular[0, 1] * yg + xy2angular[0, 2]
         )
@@ -921,8 +921,32 @@ def get_fused_pipeline(body, nx: int, ny: int):
             precision=precision,
         )
 
-        def wrapped(xy2angular, disc, radii, anchors):
-            return impl(nx, ny, xy2angular, disc, radii, anchors)
+        # Row-band tiling: mapping the per-pixel program over bands keeps
+        # each band's intermediates resident in VMEM instead of spilling
+        # ~50 full-frame f64 temporaries to HBM (measured ~2.2x at 2048^2).
+        band_rows = 64
+        if ny <= 4 * band_rows:
+            def wrapped(xy2angular, disc, radii, anchors):
+                return impl(nx, ny, xy2angular, disc, radii, anchors)
+        else:
+            import jax.numpy as jnp
+            from jax import lax
+
+            n_bands = -(-ny // band_rows)
+            ny_padded = n_bands * band_rows
+
+            def wrapped(xy2angular, disc, radii, anchors):
+                def band(i):
+                    row0 = (i * band_rows).astype(jnp.float64)
+                    return impl(
+                        nx, band_rows, xy2angular, disc, radii, anchors,
+                        row0=row0,
+                    )
+
+                outs = lax.map(band, jnp.arange(n_bands))
+                return {
+                    k: v.reshape(ny_padded, nx)[:ny] for k, v in outs.items()
+                }
 
         fn = jax.jit(wrapped)
         _PIPELINE_CACHE[key] = fn
@@ -935,10 +959,17 @@ def compute_backplanes(body, *, as_numpy: bool = True) -> dict[str, Any]:
     program. Returns a dict keyed by backplane name (same keys and value
     conventions as :attr:`BodyXY.backplanes` image getters).
     """
+    import jax
+
     nx, ny = body.get_img_size()
     if nx <= 0 or ny <= 0:
         raise ValueError('nx and ny must be positive to generate backplanes')
-    anchors = body._get_pipeline_anchors()
+    # Keep the anchors resident on device: re-transferring ~25 host arrays
+    # per call costs more than the compute through a remote-TPU transport
+    anchors = body._stable_cache.get('pipeline anchors (device)')
+    if anchors is None:
+        anchors = jax.device_put(body._get_pipeline_anchors())
+        body._stable_cache['pipeline anchors (device)'] = anchors
     fn = get_fused_pipeline(body, nx, ny)
     out = fn(
         np.asarray(body._get_xy2angular_matrix()),

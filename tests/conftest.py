@@ -15,3 +15,15 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='module', autouse=True)
+def _clear_jax_caches_between_modules():
+    # A single process accumulating hundreds of distinct compiled XLA
+    # programs has crashed XLA:CPU near the end of full-suite runs;
+    # dropping the jit caches between modules keeps the live-executable
+    # count bounded. (See also tests/run_tests.sh for the sharded runner.)
+    yield
+    jax.clear_caches()
