@@ -128,11 +128,11 @@ def bench_time_batch(n_frames: int) -> dict:
     )
     body.set_disc_params(size / 2, size / 2, size * 0.4, 0.0)
     ets = body.et + 60.0 * np.arange(n_frames)
-    # warm (compile)
-    backplane_time_series(body, ets[:2], names=['EMISSION', 'LON-GRAPHIC'])
+    # warm with the same batch size (the vmapped program is shape-static)
+    backplane_time_series(body, ets, names=['EMISSION', 'LON-GRAPHIC'])
     t0 = time.time()
     out = backplane_time_series(
-        body, ets, names=['EMISSION', 'LON-GRAPHIC']
+        body, ets + 30.0, names=['EMISSION', 'LON-GRAPHIC']
     )
     elapsed = time.time() - t0
     assert out['EMISSION'].shape == (n_frames, size, size)

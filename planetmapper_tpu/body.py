@@ -328,20 +328,29 @@ class Body(BodyBase):
         self._subpoint_rayvec = self._scene['subpoint_rayvec']
         self._subpoint_obsvec = self._scene['subpoint_obsvec']
         self.subpoint_distance = float(self._scene['subpoint_distance'])
-        lon, lat = self.targvec2lonlat(self._subpoint_targvec)
-        self.subpoint_lon = float(lon)
-        self.subpoint_lat = float(lat)
-        self._subpoint_ra, self._subpoint_dec = self._obsvec2radec(
-            self._subpoint_obsvec
+        self.subpoint_lon, self.subpoint_lat = self._radian_pair2degrees(
+            self._lon_east2positive_radians(
+                float(self._scene['subpoint_lon_e_rad'])
+            ),
+            float(self._scene['subpoint_lat_rad']),
+        )
+        self._subpoint_ra = float(
+            np.rad2deg(self._scene['subpoint_ra_rad'])
+        )
+        self._subpoint_dec = float(
+            np.rad2deg(self._scene['subpoint_dec_rad'])
         )
 
         # Sub-solar point (NaN when the target is the illumination source)
         subsol = self._scene['subsol_targvec']
         if np.all(np.isfinite(subsol)):
             self._subsol_targvec = subsol
-            lon, lat = self.targvec2lonlat(subsol)
-            self.subsol_lon = float(lon)
-            self.subsol_lat = float(lat)
+            self.subsol_lon, self.subsol_lat = self._radian_pair2degrees(
+                self._lon_east2positive_radians(
+                    float(self._scene['subsol_lon_e_rad'])
+                ),
+                float(self._scene['subsol_lat_rad']),
+            )
         else:
             self._subsol_targvec = np.full(3, np.nan)
             self.subsol_lon = np.nan
@@ -353,14 +362,12 @@ class Body(BodyBase):
         )
         self.km_per_arcsec = (2.0 * self.r_eq) / self.target_diameter_arcsec
 
-        # Equatorial (ring) plane in obsvec space (reference body.py:582-588)
-        targvec_north_pole = self.lonlat2targvec(0, 90)
-        obsvec_north_pole = self._targvec2obsvec(targvec_north_pole)
-        normal, constant = geom.plane_from_normal_point(
-            np.asarray(obsvec_north_pole) - self._target_obsvec,
-            np.asarray(self._target_obsvec, dtype=float),
+        # Equatorial (ring) plane in obsvec space (reference body.py:582-588;
+        # computed inside the scene-constants program)
+        self._ring_plane = (
+            np.asarray(self._scene['ring_plane_normal'], dtype=float),
+            float(self._scene['ring_plane_constant']),
         )
-        self._ring_plane = (np.asarray(normal), float(constant))
 
         self.named_ring_data = data_loader.get_ring_radii().get(self.target, {})
         self.ring_radii: set[float] = set()
@@ -584,6 +591,12 @@ class Body(BodyBase):
             targvec = np.where(np.asarray(visible)[..., None], targvec, np.nan)
         return targvec
 
+    def _lon_east2positive_radians(self, lon_e: float) -> float:
+        """East-positive longitude -> the body's positive direction."""
+        if self.positive_longitude_direction == 'W':
+            return float(np.mod(-lon_e, 2 * np.pi))
+        return float(np.mod(lon_e, 2 * np.pi))
+
     def _targvec2lonlat_radians(self, targvec):
         """Body-fixed vectors -> planetographic radians (recpgr equivalent)."""
         targvec = np.asarray(targvec, dtype=float)
@@ -798,6 +811,17 @@ class Body(BodyBase):
         self, *, origin_ra: float | None = None,
         origin_dec: float | None = None, coordinate_rotation: float = 0.0,
     ) -> np.ndarray:
+        from .core.scene import _host_device
+
+        with _host_device():
+            return self._get_obsvec2angular_matrix_impl(
+                origin_ra=origin_ra, origin_dec=origin_dec,
+                coordinate_rotation=coordinate_rotation,
+            )
+
+    def _get_obsvec2angular_matrix_impl(
+        self, *, origin_ra, origin_dec, coordinate_rotation,
+    ) -> np.ndarray:
         if origin_ra is None:
             origin_ra = self.target_ra
         if origin_dec is None:
@@ -919,8 +943,11 @@ class Body(BodyBase):
     # km <-> angular ---------------------------------------------------------
     def _get_km2angular_matrix(self) -> np.ndarray:
         if self._matrix_km2angular is None:
+            from .core.scene import _host_device
+
             s = 1 / self.km_per_arcsec
-            theta_radians = np.deg2rad(self.north_pole_angle())
+            with _host_device():
+                theta_radians = np.deg2rad(self.north_pole_angle())
             self._matrix_km2angular = s * self._rotation_matrix_radians(
                 theta_radians
             )

@@ -140,11 +140,69 @@ class BodyFrameModel:
 
         return jnp.swapaxes(self.j2000_to_bodyfixed_matrix(et), -1, -2)
 
+    def rotate_j2000_to_bodyfixed(self, et, v):
+        """
+        Apply the J2000 -> body-fixed rotation to vectors ``v`` (..., 3)
+        at per-element epochs ``et`` (...) WITHOUT materialising
+        ``(..., 3, 3)`` matrices: on TPU the trailing size-3 dims tile to
+        (8, 128) lanes, inflating batched matrix temporaries ~50x (an OOM
+        at map-grid sizes). Three successive axis rotations on the vector
+        components keep every temporary a well-tiled (...,) array.
+        """
+        ra, dec, w = self.euler_angles(et)
+        return _apply_euler_313(ra, dec, w, v, inverse=False)
+
+    def rotate_bodyfixed_to_j2000(self, et, v):
+        """Inverse of :func:`rotate_j2000_to_bodyfixed` (same rationale)."""
+        ra, dec, w = self.euler_angles(et)
+        return _apply_euler_313(ra, dec, w, v, inverse=True)
+
     def bodyfixed_to_j2000_matrix_deriv(self, et):
         """d/dt of :func:`bodyfixed_to_j2000_matrix` (exact, via jacfwd)."""
         import jax
 
         return jax.jacfwd(self.bodyfixed_to_j2000_matrix)(et)
+
+
+def _apply_euler_313(ra, dec, w, v, *, inverse: bool):
+    """
+    Apply ``R3(w) R1(pi/2 - dec) R3(pi/2 + ra)`` (the IAU body-frame
+    rotation, SPICE rotation convention) - or its transpose - to vectors
+    ``v`` componentwise. Equivalent to composing the :func:`_rotmat_jnp`
+    matrices, but with no (..., 3, 3) temporaries.
+    """
+    import jax.numpy as jnp
+
+    vx = v[..., 0]
+    vy = v[..., 1]
+    vz = v[..., 2]
+    sra = jnp.sin(ra)
+    cra = jnp.cos(ra)
+    sdec = jnp.sin(dec)
+    cdec = jnp.cos(dec)
+    sw = jnp.sin(w)
+    cw = jnp.cos(w)
+    if not inverse:
+        # R3(pi/2 + ra): cos -> -sin(ra), sin -> cos(ra)
+        x1 = -sra * vx + cra * vy
+        y1 = -cra * vx - sra * vy
+        # R1(pi/2 - dec): cos -> sin(dec), sin -> cos(dec)
+        y2 = sdec * y1 + cdec * vz
+        z2 = -cdec * y1 + sdec * vz
+        # R3(w)
+        out_x = cw * x1 + sw * y2
+        out_y = -sw * x1 + cw * y2
+        out_z = z2
+    else:
+        # Transpose: R3(-(pi/2 + ra)) R1(-(pi/2 - dec)) R3(-w)
+        x1 = cw * vx - sw * vy
+        y1 = sw * vx + cw * vy
+        y2 = sdec * y1 - cdec * vz
+        z2 = cdec * y1 + sdec * vz
+        out_x = -sra * x1 - cra * y2
+        out_y = cra * x1 - sra * y2
+        out_z = z2
+    return jnp.stack([out_x, out_y, out_z], axis=-1)
 
 
 def _rotmat_jnp(jnp, angle, axis: int):

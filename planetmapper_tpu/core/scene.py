@@ -33,6 +33,23 @@ from .ephemeris import CLIGHT, SSB, Ephemeris, parse_abcorr, stelab
 from .frames import BodyFrameModel
 from . import geometry as geom
 
+#: Calls whose largest input is at most this many elements run on the
+#: local CPU backend (see SceneEngine._jitted)
+_SMALL_CALL_ELEMENTS = 4096
+
+
+def _host_device():
+    """Context manager selecting the local CPU backend (no-op without one)."""
+    import contextlib
+
+    import jax
+
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:  # pragma: no cover - CPU backend always exists
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
 
 class SceneEngine:
     """
@@ -86,7 +103,29 @@ class SceneEngine:
 
         cached = self._jit_cache.get(name)
         if cached is None:
-            cached = jax.jit(fn)
+            jitted = jax.jit(fn)
+
+            def dispatch(*args, **kwargs):
+                # Small (scalar-API) calls run on the local CPU backend:
+                # through a remote-TPU transport every dispatch+sync costs
+                # ~25 ms, which would dominate the navigation API. Bulk
+                # calls (pixel/map grids) keep the accelerator. Inputs
+                # already committed to an accelerator stay there.
+                leaves = jax.tree_util.tree_leaves((args, kwargs))
+                if any(isinstance(a, jax.core.Tracer) for a in leaves):
+                    # Called inside another traced program: inline as-is
+                    return jitted(*args, **kwargs)
+                small = all(np.size(a) <= _SMALL_CALL_ELEMENTS for a in leaves)
+                if small and not any(
+                    isinstance(a, jax.Array)
+                    and next(iter(a.devices())).platform != 'cpu'
+                    for a in leaves
+                ):
+                    with _host_device():
+                        return jitted(*args, **kwargs)
+                return jitted(*args, **kwargs)
+
+            cached = dispatch
             self._jit_cache[name] = cached
         return cached
 
@@ -146,9 +185,10 @@ class SceneEngine:
         for _ in range(n_iter):
             tau = et - lt
             targ_pos = self._pos_t(tau)[..., :3] - obs_pos
-            rot = self.frame_model.j2000_to_bodyfixed_matrix(tau)
-            o_bf = -jnp.einsum('...ij,...j->...i', rot, targ_pos)
-            d_bf = jnp.einsum('...ij,...j->...i', rot, d)
+            o_bf = -self.frame_model.rotate_j2000_to_bodyfixed(tau, targ_pos)
+            d_bf = self.frame_model.rotate_j2000_to_bodyfixed(
+                tau, jnp.broadcast_to(d, targ_pos.shape)
+            )
             s, found = geom.ray_ellipsoid_intercept(o_bf, d_bf, radii)
             spoint = o_bf + s[..., None] * d_bf
             dist = jnp.where(found, s, lt0 * CLIGHT)
@@ -179,32 +219,32 @@ class SceneEngine:
         for _ in range(n_iter):
             tau = et - lt
             targ_pos = self._pos_t(tau)[..., :3] - obs_pos
-            m_bf2j = self.frame_model.bodyfixed_to_j2000_matrix(tau)
-            point_j2000 = targ_pos + jnp.einsum(
-                '...ij,...j->...i', m_bf2j, targvec
+            point_j2000 = targ_pos + self.frame_model.rotate_bodyfixed_to_j2000(
+                tau, targvec
             )
             srfvec_j2000 = point_j2000
             lt = jnp.linalg.norm(point_j2000, axis=-1) / CLIGHT
             if self.corr.geometric:
                 break
 
-        rot = self.frame_model.j2000_to_bodyfixed_matrix(tau)
-        srfvec_bf = jnp.einsum('...ij,...j->...i', rot, srfvec_j2000)
+        srfvec_bf = self.frame_model.rotate_j2000_to_bodyfixed(
+            tau, srfvec_j2000
+        )
 
         # Apparent sun direction from the surface point at epoch tau
         if self._pos_s is not None:
-            point_ssb = self._pos_t(tau)[..., :3] + jnp.einsum(
-                '...ij,...j->...i',
-                self.frame_model.bodyfixed_to_j2000_matrix(tau),
-                targvec,
-            )
+            point_ssb = self._pos_t(tau)[
+                ..., :3
+            ] + self.frame_model.rotate_bodyfixed_to_j2000(tau, targvec)
             lt_s = jnp.zeros(targvec.shape[:-1], dtype=jnp.float64)
             sun_dir_j2000 = None
             for _ in range(n_iter):
                 sun_pos = self._pos_s(tau - lt_s)[..., :3]
                 sun_dir_j2000 = sun_pos - point_ssb
                 lt_s = jnp.linalg.norm(sun_dir_j2000, axis=-1) / CLIGHT
-            sun_dir_bf = jnp.einsum('...ij,...j->...i', rot, sun_dir_j2000)
+            sun_dir_bf = self.frame_model.rotate_j2000_to_bodyfixed(
+                tau, sun_dir_j2000
+            )
         else:
             sun_dir_bf = jnp.full_like(targvec, jnp.nan)
 
@@ -241,8 +281,7 @@ class SceneEngine:
             targ = self._pos_t(tau)
 
             def pos_of(t):
-                m = self.frame_model.bodyfixed_to_j2000_matrix(t)
-                return jnp.einsum('...ij,...j->...i', m, targvec)
+                return self.frame_model.rotate_bodyfixed_to_j2000(t, targvec)
 
             off, doff = jax.jvp(pos_of, (tau,), (jnp.ones_like(tau),))
             pos = targ[..., :3] + off
@@ -284,8 +323,7 @@ class SceneEngine:
             - sub['subpoint_distance']
         )
         tau = sub['subpoint_et'] - dist_offset / CLIGHT
-        m = self.frame_model.bodyfixed_to_j2000_matrix(tau)
-        return sub['subpoint_obsvec'] + jnp.einsum('...ij,...j->...i', m, off)
+        return sub['subpoint_obsvec'] + self.frame_model.rotate_bodyfixed_to_j2000(tau, off)
 
     def _obsvec2targvec_core(self, obsvec, sub):
         import jax.numpy as jnp
@@ -296,8 +334,7 @@ class SceneEngine:
             - sub['subpoint_distance']
         )
         tau = sub['subpoint_et'] - dist_offset / CLIGHT
-        m = self.frame_model.j2000_to_bodyfixed_matrix(tau)
-        return sub['subpoint_targvec'] + jnp.einsum('...ij,...j->...i', m, off)
+        return sub['subpoint_targvec'] + self.frame_model.rotate_j2000_to_bodyfixed(tau, off)
 
     # ------------------------------------------------------------------
     # Scene constants (Body.__init__ equivalent, one jitted program)
@@ -311,9 +348,13 @@ class SceneEngine:
         """
         if radii is None:
             radii = self.radii
+        import jax
+
         fn = self._jitted('scene_constants', self._scene_constants_impl)
         out = fn(et, np.asarray(radii, dtype=np.float64))
-        return {k: np.asarray(v) for k, v in out.items()}
+        # One bulk transfer: per-leaf np.asarray costs a device round trip
+        # per field on remote-TPU transports
+        return jax.device_get(out)
 
     def _scene_constants_impl(self, et, radii):
         import jax.numpy as jnp
@@ -374,6 +415,30 @@ class SceneEngine:
         else:
             out['subsol_targvec'] = jnp.full(3, jnp.nan)
             out['subsol_et'] = jnp.full((), jnp.nan)
+
+        # Derived scene values folded into the same program: each separate
+        # eager call costs a full device round trip at Body construction
+        # (east-positive radians here; the Body layer applies the W/E sign)
+        re = radii[0]
+        f = (radii[0] - radii[2]) / radii[0]
+        lon_sp, lat_sp, _ = geom.rect_to_geodetic(sub_targvec, re, f)
+        out['subpoint_lon_e_rad'] = lon_sp
+        out['subpoint_lat_rad'] = lat_sp
+        _r, ra_sp, dec_sp = geom.rect_to_radec(subpoint_obsvec)
+        out['subpoint_ra_rad'] = ra_sp
+        out['subpoint_dec_rad'] = dec_sp
+        lon_ss, lat_ss, _ = geom.rect_to_geodetic(out['subsol_targvec'], re, f)
+        out['subsol_lon_e_rad'] = lon_ss
+        out['subsol_lat_rad'] = lat_ss
+        # Equatorial (ring) plane in obsvec space (reference body.py:582-588)
+        np_obsvec = self._targvec2obsvec_core(
+            jnp.array([0.0, 0.0, 1.0]) * radii[2], out
+        )
+        normal, constant = geom.plane_from_normal_point(
+            np_obsvec - target_obsvec, target_obsvec
+        )
+        out['ring_plane_normal'] = normal
+        out['ring_plane_constant'] = constant
         return out
 
     def _subslr_impl(self, et, radii, consts):

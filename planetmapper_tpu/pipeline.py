@@ -50,6 +50,55 @@ DEG = math.pi / 180.0
 DEFAULT_PRECISION = os.environ.get('PLANETMAPPER_TPU_PRECISION', 'mixed')
 
 
+def _anchor_core_fn(engine):
+    """
+    Jitted device program computing the time-dependent anchor values in
+    ONE dispatch (the eager jacfwd/fixed-point version cost seconds per
+    epoch through a remote-TPU transport). Cached per engine; batched
+    epochs vmap cleanly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def core(et, tau0, target_lt):
+        rot_fn = engine.frame_model.j2000_to_bodyfixed_matrix
+        r0 = rot_fn(tau0)
+        r1 = jax.jacfwd(rot_fn)(tau0)
+        r2 = jax.jacfwd(jax.jacfwd(rot_fn))(tau0)
+        targ_state = engine._pos_t(tau0)
+        obs_state = engine._pos_o(et)
+        if engine._pos_s is not None:
+            lt_s = jnp.zeros_like(tau0)
+            for _ in range(4):
+                sun_state = engine._pos_s(tau0 - lt_s)
+                lt_s = jnp.linalg.norm(
+                    sun_state[..., :3] - targ_state[..., :3], axis=-1
+                ) / CLIGHT
+            sun_epoch = tau0 - lt_s
+            sun_state = engine._pos_s(sun_epoch)
+        else:
+            sun_epoch = tau0
+            sun_state = jnp.full(
+                jnp.shape(tau0) + (6,), jnp.nan, dtype=jnp.float64
+            )
+        solar_lon = engine.solar_longitude(et - target_lt)
+        return dict(
+            rot0=r0, rot1=r1, rot2=r2,
+            targ_state=targ_state, obs_state=obs_state,
+            sun_state=sun_state, sun_epoch=sun_epoch, solar_lon=solar_lon,
+        )
+
+    return jax.jit(core)
+
+
+def _get_anchor_core(engine):
+    fn = getattr(engine, '_anchor_core_jit', None)
+    if fn is None:
+        fn = _anchor_core_fn(engine)
+        engine._anchor_core_jit = fn
+    return fn
+
+
 def compute_scene_anchors(body) -> dict[str, np.ndarray]:
     """
     Host-side anchor computation for a Body's scene: positions/velocities
@@ -57,49 +106,40 @@ def compute_scene_anchors(body) -> dict[str, np.ndarray]:
     per (body, time); all values become device constants for the pipeline.
     """
     import jax
-    import jax.numpy as jnp
+
+    from .core.scene import _host_device
 
     engine = body._engine
     et = body.et
     tau0 = body._subpoint_et
 
-    rot_fn = engine.frame_model.j2000_to_bodyfixed_matrix
-    r0 = rot_fn(tau0)
-    r1 = jax.jacfwd(rot_fn)(tau0)
-    r2 = jax.jacfwd(jax.jacfwd(rot_fn))(tau0)
-
-    targ_state = np.asarray(engine._pos_t(tau0))
-    obs_state = np.asarray(engine._pos_o(et))
-
-    # Sun anchor: apparent sun epoch from the target at tau0
-    lt_s = 0.0
-    sun_state = None
-    if engine._pos_s is not None:
-        for _ in range(4):
-            sun_state = np.asarray(engine._pos_s(tau0 - lt_s))
-            lt_s = float(
-                np.linalg.norm(sun_state[:3] - targ_state[:3]) / CLIGHT
+    with _host_device():
+        # Scalar program + a dict of small outputs: local CPU avoids one
+        # remote round trip per fetched leaf
+        core = jax.device_get(
+            _get_anchor_core(engine)(
+                np.float64(et), np.float64(tau0),
+                np.float64(body.target_light_time),
             )
-        sun_anchor_epoch = tau0 - lt_s
-        sun_state = np.asarray(engine._pos_s(sun_anchor_epoch))
-    else:
-        sun_anchor_epoch = tau0
-        sun_state = np.full(6, np.nan)
+        )
+    targ_state = core['targ_state']
+    obs_state = core['obs_state']
+    sun_state = core['sun_state']
 
     sub = body._sub_consts()
     anchors = dict(
         et=np.float64(et),
         tau0=np.float64(tau0),
-        rot0=np.asarray(r0),
-        rot1=np.asarray(r1),
-        rot2=np.asarray(r2),
-        targ_pos0=targ_state[:3],  # target SSB position at tau0
-        targ_vel0=targ_state[3:],
-        obs_pos=obs_state[:3],  # observer SSB position at et
-        obs_vel=obs_state[3:],
-        sun_pos0=sun_state[:3],
-        sun_vel0=sun_state[3:],
-        sun_epoch0=np.float64(sun_anchor_epoch),
+        rot0=np.asarray(core['rot0']),
+        rot1=np.asarray(core['rot1']),
+        rot2=np.asarray(core['rot2']),
+        targ_pos0=targ_state[..., :3],  # target SSB position at tau0
+        targ_vel0=targ_state[..., 3:],
+        obs_pos=obs_state[..., :3],  # observer SSB position at et
+        obs_vel=obs_state[..., 3:],
+        sun_pos0=sun_state[..., :3],
+        sun_vel0=sun_state[..., 3:],
+        sun_epoch0=np.float64(core['sun_epoch']),
         target_lt=np.float64(body.target_light_time),
         target_obsvec=np.asarray(body._target_obsvec),
         subpoint_targvec=np.asarray(sub['subpoint_targvec']),
@@ -108,11 +148,7 @@ def compute_scene_anchors(body) -> dict[str, np.ndarray]:
         subpoint_distance=np.float64(sub['subpoint_distance']),
         ring_plane_normal=np.asarray(body._ring_plane[0]),
         ring_plane_constant=np.float64(body._ring_plane[1]),
-        solar_lon_e=np.float64(
-            np.asarray(
-                engine.solar_longitude(et - body.target_light_time)
-            )
-        ),
+        solar_lon_e=np.float64(core['solar_lon']),
         obsvec2angular=np.asarray(body._get_obsvec2angular_matrix()),
         angular2km=np.asarray(body._get_angular2km_matrix()),
     )
