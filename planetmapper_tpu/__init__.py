@@ -143,8 +143,10 @@ def __getattr__(name: str):
 
         return Observation
     if name in ('gui', 'run_gui'):
+        import importlib
+
         try:
-            from . import gui
+            gui = importlib.import_module('.gui', __name__)
         except ImportError as e:
             from ._mock_gui_no_tk import get_mocks as _get_mocks
 

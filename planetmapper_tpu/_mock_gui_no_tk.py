@@ -1,7 +1,7 @@
 """
 Graceful degradation when tkinter is unavailable: importing the package
-still works, and any GUI access raises an informative error (parity with
-planetmapper/_mock_gui_no_tk.py).
+still works, and only *using* the GUI raises an informative error
+(behavioural parity with the reference's mock-module fallback).
 """
 
 from __future__ import annotations
@@ -16,38 +16,36 @@ ERROR_MESSAGE = (
 
 
 def raise_tkinter_import_error(parent_exception: ImportError) -> NoReturn:
-    """Raise an informative error when the GUI is used without tkinter."""
-    if (
-        isinstance(parent_exception, ImportError)
-        and parent_exception.name is not None
-        and 'tkinter' in parent_exception.name
-    ):
+    """
+    Re-raise an import failure as an informative tkinter error (or
+    unchanged, if tkinter was not actually the missing module).
+    """
+    name = getattr(parent_exception, 'name', None)
+    if name and 'tkinter' in name:
         raise ModuleNotFoundError(
             ERROR_MESSAGE, name='tkinter'
         ) from parent_exception
     raise parent_exception
 
 
-class _MockGUIModuleClass:
-    """
-    Stand-in for the gui module when tkinter is missing: any attribute
-    access raises the informative tkinter error, so the rest of the package
-    remains fully usable.
-    """
-
-    def __init__(self, parent_exception: ImportError) -> None:
-        self._parent_exception = parent_exception
-
-    def __getattr__(self, name) -> NoReturn:
-        raise_tkinter_import_error(self._parent_exception)
-
-
 def get_mocks(
     parent_exception: ImportError,
-) -> tuple[_MockGUIModuleClass, Callable[..., NoReturn]]:
-    """(mock gui module, mock run_gui) pair for package init."""
+) -> tuple[object, Callable[..., NoReturn]]:
+    """
+    Build the ``(gui_module_stand_in, run_gui_stand_in)`` pair used by the
+    package ``__init__`` when the real GUI module cannot be imported. Any
+    attribute access or call on either raises the informative error.
+    """
 
-    def run_gui(*args, **kwargs) -> NoReturn:
+    def fail(*_args, **_kwargs) -> NoReturn:
         raise_tkinter_import_error(parent_exception)
 
-    return _MockGUIModuleClass(parent_exception), run_gui
+    mock_module = type(
+        '_MockGUIModule',
+        (),
+        {
+            '__getattr__': lambda self, name: fail(),
+            '__doc__': 'GUI unavailable: tkinter is not installed.',
+        },
+    )()
+    return mock_module, fail

@@ -1,8 +1,9 @@
 """
-Command line interface: launches the GUI (parity with planetmapper/cli.py).
+Command line interface (parity with the reference's console script).
 
-Running ``planetmapper-tpu`` (or ``python -m planetmapper_tpu``) launches
-the graphical interface, optionally opening a FITS file directly.
+``planetmapper-tpu [file]`` launches the GUI, optionally opening an
+observation immediately; ``--version`` prints the version. The extra
+``--precision`` flag selects the fused-pipeline numeric mode.
 """
 
 from __future__ import annotations
@@ -12,48 +13,42 @@ import argparse
 
 def main(args: list[str] | None = None) -> None:
     """CLI entry point. :meta private:"""
-    parsed_args = _get_parser().parse_args(args)
-    _run_gui(parsed_args.file_path)
+    from . import common
 
-
-def _get_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog='planetmapper-tpu',
         description=(
             'planetmapper_tpu: a TPU-native package for visualising, '
-            'navigating and mapping Solar System observations.'
+            'navigating and mapping Solar System observations. Run with '
+            'no arguments to launch the graphical interface.'
         ),
-        epilog=(
-            'If no arguments are provided, the planetmapper_tpu GUI will be '
-            'launched.'
-        ),
-        argument_default=argparse.SUPPRESS,
     )
     parser.add_argument(
         'file_path',
         nargs='?',
-        type=str,
-        help='launch the GUI with the specified FITS file open',
         default=None,
+        help='open the GUI with this FITS/image file loaded',
     )
     parser.add_argument(
-        '-v',
-        '--version',
+        '-v', '--version',
         action='version',
-        version=f'planetmapper_tpu {_get_version()}',
+        version=f'planetmapper_tpu {common.__version__}',
         help='print the version number and exit',
     )
-    return parser
+    parser.add_argument(
+        '--precision',
+        choices=('mixed', 'double'),
+        default=None,
+        help='numeric mode for the fused backplane pipeline',
+    )
+    options = parser.parse_args(args)
 
+    if options.precision is not None:
+        from . import pipeline
 
-def _run_gui(file_path: str | None) -> None:
-    print(f'Launching planetmapper_tpu {_get_version()}', flush=True)
+        pipeline.DEFAULT_PRECISION = options.precision
+
+    print(f'Launching planetmapper_tpu {common.__version__}', flush=True)
     from . import gui
 
-    gui._run_gui_from_cli(file_path)
-
-
-def _get_version() -> str:
-    from . import common
-
-    return common.__version__
+    gui._run_gui_from_cli(options.file_path)

@@ -1,0 +1,507 @@
+"""
+Tests for the user-facing shells: GUI logic (headless), the tkinter-less
+fallback, the CLI, the kernel downloader (offline, URL functions patched
+like the reference's tests/test_kernel_downloader.py), wireframe plotting
+contracts and the API-contract meta-test
+(reference tests/common_testing.py:147-170).
+"""
+
+import inspect
+import io
+import os
+import tempfile
+import unittest.mock as mock
+
+import matplotlib
+
+matplotlib.use('Agg')
+
+import numpy as np
+import pytest
+
+from common import REFERENCE_DATA_PATH, setup_kernels
+
+import planetmapper_tpu
+from planetmapper_tpu import BasicBody, Body, BodyXY, Observation
+from planetmapper_tpu import _mock_gui_no_tk, cli, kernel_downloader
+from planetmapper_tpu.observation import Observation as ObservationClass
+
+INPUTS = os.path.join(REFERENCE_DATA_PATH, 'inputs')
+
+
+@pytest.fixture(scope='module', autouse=True)
+def kernels():
+    setup_kernels()
+
+
+@pytest.fixture()
+def observation():
+    obs = Observation(os.path.join(INPUTS, 'test.fits'))
+    obs.set_disc_params(2.5, 3.1, 3.9, 123.456)
+    return obs
+
+
+@pytest.fixture()
+def gui(observation):
+    from planetmapper_tpu import gui as gui_module
+
+    g = gui_module.GUI()
+    g.observation = observation
+    return g
+
+
+class TestGUILogic:
+    """GUI behaviour that does not need a display."""
+
+    def test_shortcut_table(self, gui):
+        keys = [k for keys in gui.shortcuts.values() for k in keys]
+        for expected in (
+            '<Up>', '<Down>', '<Left>', '<Right>', 'w', 'a', 's', 'd',
+            '[', ']', '+', '-', '<less>', '.', ',',
+            '<Control-s>', '<Control-o>', '<Control-h>', '<Control-p>',
+            'c', '<Shift-C>',
+        ):
+            assert expected in keys, expected
+        assert len(set(keys)) == len(keys)  # no conflicting bindings
+
+    def test_disc_finding_registry(self, gui):
+        sections = gui.disc_finding_routines
+        assert set(sections) == {
+            'Reset disc', 'Use FITS header metadata',
+            'Use WCS data from FITS header', 'Fit observation',
+        }
+        for rows in sections.values():
+            for fn, label, tooltip, requirement in rows:
+                assert callable(fn)
+                assert label and tooltip
+                assert requirement in (None, 'header', 'wcs')
+
+    def test_click_coords(self, gui):
+        gui.last_click_location = (2.5, 3.1)
+        coords = gui.get_click_coords()
+        for key in (
+            'x', 'y', 'ra', 'dec', 'lon', 'lat', 'lon_centric',
+            'lat_centric', 'phase', 'incidence', 'emission', 'azimuth',
+            'limb_distance',
+        ):
+            assert key in coords, key
+        # On-disc pixel: lon/lat match the direct conversion
+        lon, lat = gui.get_observation().xy2lonlat(2.5, 3.1)
+        assert coords['lon'] == pytest.approx(lon, abs=1e-6)
+        assert coords['lat'] == pytest.approx(lat, abs=1e-6)
+
+    def test_click_json_and_formatted_strings(self, gui):
+        gui.last_click_location = (2.5, 3.1)
+        coords = gui.get_click_coords()
+        s = gui.make_click_json_string(coords)
+        import json
+
+        parsed = json.loads(s)
+        assert parsed['xy'] == [2.5, 3.1]
+        assert 'lonlat' in parsed and 'phase' in parsed
+        strs = gui.get_click_coords_formatted_strings(coords)
+        formatted = gui.make_click_formatted_string(strs)
+        assert 'Pixel coordinates' in formatted
+        assert '°' in strs['ra']  # DMS formatted
+
+    def test_click_off_disc(self, gui):
+        coords = gui._get_coords_for_location(-30.0, -30.0)
+        assert 'lon' not in coords
+        s = gui.make_click_json_string(coords)
+        assert 'lonlat' not in s
+        assert 'limb_distance' in s
+
+    def test_image_modes(self, gui):
+        obs = gui.get_observation()
+        nz = obs.data.shape[0]
+        assert gui.image_sum().shape == obs.data.shape[1:]
+        assert gui.image_single().shape == obs.data.shape[1:]
+        rgb = gui.image_rgb()
+        assert rgb.shape == obs.data.shape[1:] + (3,)
+        assert np.nanmax(rgb) <= 1.0
+        gui.plot_settings['_']['image_mode'] = 'sum'
+        assert gui.get_image().shape == obs.data.shape[1:]
+        gui.plot_settings['_']['image_idx_single'] = nz - 1
+        gui.plot_settings['_']['image_mode'] = 'single'
+        assert gui.get_image().shape == obs.data.shape[1:]
+
+    def test_image_limits(self, gui):
+        img = np.linspace(0.0, 10.0, 100).reshape(10, 10)
+        misc = gui.plot_settings['_']
+        misc['image_limit_type'] = 'relative'
+        misc['image_vmin'], misc['image_vmax'] = 0, 100
+        assert gui.get_image_limits(img) == (0.0, 10.0)
+        misc['image_limit_type'] = 'absolute'
+        misc['image_vmin'], misc['image_vmax'] = 2.0, 5.0
+        assert gui.get_image_limits(img) == (2.0, 5.0)
+        misc['image_limit_type'] = 'percentile'
+        misc['image_vmin'], misc['image_vmax'] = 0, 50
+        lo, hi = gui.get_image_limits(img)
+        assert lo == pytest.approx(0.0)
+        assert hi == pytest.approx(np.percentile(img, 50))
+
+    def test_step_logic(self, gui):
+        gui.set_step(2.0)
+        assert gui.step_size == 2.0
+        with pytest.raises(ValueError):
+            gui.set_step(-1.0)
+        with pytest.raises(ValueError):
+            gui.set_step(float('nan'))
+
+    def test_adjust_disc_via_shortcut_fns(self, gui):
+        obs = gui.get_observation()
+        # no widgets built: the ui callbacks are empty, plot update no-ops
+        x0 = obs.get_x0()
+        gui.step_size = 1.5
+        gui.move_right()
+        assert obs.get_x0() == pytest.approx(x0 + 1.5)
+        r0 = obs.get_r0()
+        gui.increase_radius()
+        assert obs.get_r0() == pytest.approx(r0 + 1.5)
+
+    def test_x11_translation(self, gui):
+        with mock.patch.dict(
+            os.environ, {'PLANETMAPPER_USE_X11_FONT_BUGFIX': '1'}
+        ):
+            assert '°' not in gui._x11('45°30′')
+
+    def test_wcs_offsets_roundtrip(self):
+        from planetmapper_tpu import gui as gui_module
+
+        gui = gui_module.GUI()
+        obs = Observation(os.path.join(INPUTS, 'wcs.fits'))
+        gui.observation = obs
+        obs.disc_from_wcs(suppress_warnings=True, validate=False,
+                          use_header_offsets=False)
+        dra, ddec, dr0, drot = gui._get_wcs_offsets()
+        assert dra == pytest.approx(0.0, abs=1e-8)
+        assert ddec == pytest.approx(0.0, abs=1e-8)
+        gui._set_wcs_offsets(dra_arcsec=1.0, ddec_arcsec=-0.5)
+        dra, ddec, _, _ = gui._get_wcs_offsets()
+        # set/get linearise the radec<->xy mapping at slightly different
+        # points, so the roundtrip is approximate at the 1e-5 arcsec level
+        assert dra == pytest.approx(1.0, abs=1e-3)
+        assert ddec == pytest.approx(-0.5, abs=1e-3)
+
+    def test_plot_settings_defaults(self, gui):
+        from planetmapper_tpu.gui import DEFAULT_PLOT_SETTINGS
+
+        for key in (
+            'image', 'limb', 'limb_illuminated', 'terminator', 'grid',
+            'pole', 'ring', 'marked_coord', '_',
+        ):
+            assert key in DEFAULT_PLOT_SETTINGS
+        assert gui.plot_settings is not DEFAULT_PLOT_SETTINGS
+        gui.plot_settings['limb']['color'] = 'r'
+        assert DEFAULT_PLOT_SETTINGS['limb']['color'] == 'w'
+
+    def test_artist_field_specs(self, gui):
+        from planetmapper_tpu import _gui_settings
+
+        _gui_settings._build_specs()
+        for key in _gui_settings.ARTIST_LABELS:
+            assert key in _gui_settings.ARTIST_FIELD_SPECS, key
+            for field, kind, label, extra in (
+                _gui_settings.ARTIST_FIELD_SPECS[key]
+            ):
+                assert kind in ('color', 'float', 'int', 'bool', 'choice')
+                if kind == 'choice':
+                    assert extra
+
+    def test_run_gui_with_mocked_class(self, observation):
+        with mock.patch('planetmapper_tpu.gui.GUI') as mock_gui:
+            instance = mock_gui.return_value
+            instance.click_locations = [(1.0, 2.0)]
+            out = observation.run_gui()
+        mock_gui.assert_called_once_with(allow_open=False)
+        instance.set_observation.assert_called_once_with(observation)
+        instance.run.assert_called_once_with()
+        assert out == [(1.0, 2.0)]
+
+
+class TestGUINoTk:
+    def test_raise_for_missing_tkinter(self):
+        exc = ModuleNotFoundError('No module named tkinter', name='tkinter')
+        with pytest.raises(ModuleNotFoundError) as excinfo:
+            _mock_gui_no_tk.raise_tkinter_import_error(exc)
+        assert 'tkinter' in str(excinfo.value)
+        assert excinfo.value.name == 'tkinter'
+
+    def test_reraise_other_import_errors(self):
+        exc = ImportError('something else', name='numpy')
+        with pytest.raises(ImportError) as excinfo:
+            _mock_gui_no_tk.raise_tkinter_import_error(exc)
+        assert excinfo.value is exc
+
+    def test_mocks(self):
+        exc = ModuleNotFoundError('No module named tkinter', name='tkinter')
+        gui_mock, run_gui_mock = _mock_gui_no_tk.get_mocks(exc)
+        with pytest.raises(ModuleNotFoundError):
+            gui_mock.GUI
+        with pytest.raises(ModuleNotFoundError):
+            run_gui_mock()
+
+
+class TestCLI:
+    def test_version(self, capsys):
+        with pytest.raises(SystemExit) as excinfo:
+            cli.main(['--version'])
+        assert excinfo.value.code == 0
+        out = capsys.readouterr().out
+        assert 'planetmapper_tpu' in out
+        assert planetmapper_tpu.__version__ in out
+
+    def test_launches_gui(self):
+        with mock.patch(
+            'planetmapper_tpu.gui._run_gui_from_cli'
+        ) as mock_run:
+            cli.main([])
+        mock_run.assert_called_once_with(None)
+
+    def test_launches_gui_with_path(self):
+        with mock.patch(
+            'planetmapper_tpu.gui._run_gui_from_cli'
+        ) as mock_run:
+            cli.main(['some_file.fits'])
+        mock_run.assert_called_once_with('some_file.fits')
+
+    def test_precision_flag(self):
+        from planetmapper_tpu import pipeline
+
+        before = pipeline.DEFAULT_PRECISION
+        try:
+            with mock.patch('planetmapper_tpu.gui._run_gui_from_cli'):
+                cli.main(['--precision', 'double'])
+            assert pipeline.DEFAULT_PRECISION == 'double'
+        finally:
+            pipeline.DEFAULT_PRECISION = before
+
+    def test_bad_precision(self):
+        with pytest.raises(SystemExit):
+            cli.main(['--precision', 'bogus'])
+
+
+class TestKernelDownloader:
+    """Offline: every network function is patched."""
+
+    def test_url_root(self):
+        assert kernel_downloader.URL_ROOT == 'https://naif.jpl.nasa.gov/pub/'
+
+    def test_url_path_conversions(self):
+        url = kernel_downloader.URL_ROOT + 'naif/generic_kernels/pck/x.tpc'
+        kp = kernel_downloader._get_kernel_path(url)
+        assert kp == os.path.normpath('naif/generic_kernels/pck/x.tpc')
+        assert kernel_downloader._kernel_path_to_url(kp.replace(
+            os.path.sep, '/')) .startswith(kernel_downloader.URL_ROOT)
+        local = kernel_downloader._convert_url_to_local_path(url)
+        assert local.startswith(
+            os.path.normpath(planetmapper_tpu.get_kernel_path())
+        )
+        with pytest.raises(ValueError):
+            kernel_downloader._get_kernel_path('/somewhere/else/x.tpc')
+
+    def test_download_urls_dispatch(self):
+        file_url = kernel_downloader.URL_ROOT + 'naif/a/b.bsp'
+        page_url = kernel_downloader.URL_ROOT + 'naif/a/dir'
+        with mock.patch.object(
+            kernel_downloader, 'download_kernel'
+        ) as mock_file, mock.patch.object(
+            kernel_downloader, 'download_kernels_from_webpage'
+        ) as mock_page:
+            kernel_downloader.download_urls(file_url, page_url)
+        mock_file.assert_called_once()
+        mock_page.assert_called_once()
+
+    def test_download_kernel_skips_existing(self, tmp_path):
+        url = kernel_downloader.URL_ROOT + 'naif/a/b.bsp'
+        with mock.patch.object(
+            kernel_downloader, '_check_kernel_exists_locally',
+            return_value=True,
+        ), mock.patch.object(
+            kernel_downloader, 'download_file'
+        ) as mock_dl:
+            kernel_downloader.download_kernel(url)
+        mock_dl.assert_not_called()
+
+    def test_download_kernel_downloads(self):
+        url = kernel_downloader.URL_ROOT + 'naif/a/b.bsp'
+        with mock.patch.object(
+            kernel_downloader, '_check_kernel_exists_locally',
+            return_value=False,
+        ), mock.patch.object(
+            kernel_downloader, 'download_file'
+        ) as mock_dl:
+            kernel_downloader.download_kernel(url)
+        mock_dl.assert_called_once()
+        called_url, local_path = mock_dl.call_args[0]
+        assert called_url == url
+        assert local_path.endswith('b.bsp')
+
+    def test_get_kernel_paths_from_webpage(self):
+        page = '\n'.join(
+            [
+                '<html>junk<!--start data_content-->',
+                '<img src="/icons/x.gif"> <a href="de440.bsp">de440</a>',
+                '<img src="/icons/x.gif"> <a href="subdir/">sub</a>',
+                'not a row',
+                '</table>rest',
+            ]
+        )
+        url = kernel_downloader.URL_ROOT + 'naif/generic_kernels/spk'
+        opened = mock.MagicMock()
+        opened.read.return_value = page.encode()
+        with mock.patch(
+            'urllib.request.urlopen', return_value=opened
+        ) as mock_open:
+            paths = kernel_downloader.get_kernel_paths_from_webpage(url)
+        mock_open.assert_called_once_with(url)
+        assert paths == [url + '/de440.bsp']
+
+    def test_download_file_atomic(self, tmp_path):
+        target = str(tmp_path / 'sub' / 'file.bsp')
+
+        def fake_retrieve(url, temp_path, reporthook=None):
+            with open(temp_path, 'wb') as f:
+                f.write(b'DATA')
+
+        with mock.patch(
+            'urllib.request.urlretrieve', side_effect=fake_retrieve
+        ):
+            kernel_downloader.download_file('http://x/file.bsp', target)
+        assert open(target, 'rb').read() == b'DATA'
+        assert not os.path.exists(target + '.temp')
+
+
+class TestWireframeContract:
+    """Wireframe plotting contracts (reference common_testing.py:80-145)."""
+
+    def test_radec_wireframe(self, observation):
+        import matplotlib.pyplot as plt
+
+        ax = observation.plot_wireframe_radec(show=False)
+        assert ax.get_xlabel() == 'Right Ascension'
+        assert ax.get_ylabel() == 'Declination'
+        assert ax.xaxis_inverted()
+        assert len(ax.lines) > 0
+        plt.close('all')
+
+    def test_km_and_angular_wireframes(self, observation):
+        import matplotlib.pyplot as plt
+
+        for fn in (
+            observation.plot_wireframe_km,
+            observation.plot_wireframe_angular,
+        ):
+            ax = fn(show=False)
+            assert len(ax.lines) > 0
+            plt.close('all')
+
+    def test_xy_wireframe(self, observation):
+        import matplotlib.pyplot as plt
+
+        ax = observation.plot_wireframe_xy(show=False)
+        assert len(ax.lines) > 0
+        plt.close('all')
+
+
+class TestAPIContract:
+    """_get_default_init_kwargs must match the actual signatures."""
+
+    def _check(self, cls, skip_instance_keys=(), **setup_kwargs):
+        obj = cls(**setup_kwargs)
+        for k, default in obj._get_default_init_kwargs().items():
+            if k in setup_kwargs or k in skip_instance_keys:
+                continue
+            assert obj._get_kwargs()[k] == default, k
+        signature = inspect.signature(cls)
+        for k, default in cls._get_default_init_kwargs().items():
+            try:
+                signature_default = signature.parameters[k].default
+            except KeyError:
+                continue  # only in **kwargs: tested via the parent class
+            if signature_default is inspect.Signature.empty:
+                continue
+            assert signature_default == default, k
+
+    def test_body(self):
+        self._check(Body, target='Jupiter', utc='2005-01-01')
+
+    def test_body_xy(self):
+        self._check(BodyXY, target='Jupiter', utc='2005-01-01', nx=4, ny=3)
+
+    def test_basic_body(self):
+        self._check(BasicBody, target='Jupiter', utc='2005-01-01')
+
+    def test_observation(self):
+        self._check(
+            ObservationClass,
+            path=os.path.join(INPUTS, 'test.fits'),
+            # filled in from the FITS header rather than the signature
+            skip_instance_keys=('target', 'utc', 'observer'),
+        )
+
+
+class TestGUIWidgetConstruction:
+    """
+    Execute the widget-building code with tk fully mocked (the reference
+    tests the GUI the same way, tests/test_gui.py:19-44): no display is
+    needed and wiring mistakes in the construction paths still surface.
+    """
+
+    def test_build_gui(self, observation):
+        from planetmapper_tpu import gui as gui_module
+
+        g = gui_module.GUI()
+        g.observation = observation
+        with mock.patch.object(gui_module, 'tk', mock.MagicMock()), \
+                mock.patch.object(gui_module, 'ttk', mock.MagicMock()), \
+                mock.patch.object(
+                    gui_module, 'FigureCanvasTkAgg', mock.MagicMock()
+                ), \
+                mock.patch.object(
+                    gui_module, 'NavigationToolbar2Tk', mock.MagicMock()
+                ), \
+                mock.patch.object(gui_module, 'Figure') as mock_figure, \
+                mock.patch(
+                    'planetmapper_tpu._gui_settings.tk', mock.MagicMock()
+                ), \
+                mock.patch(
+                    'planetmapper_tpu._gui_settings.ttk', mock.MagicMock()
+                ):
+            mock_figure.return_value = mock.MagicMock()
+            g.root = mock.MagicMock()
+            g.build_gui()
+            # all tabs built and keyboard bound
+            assert g.notebook is not None
+            assert g.root.bind.called
+            assert set(g.numeric_entries) == {
+                'x0', 'y0', 'r0', 'rotation', 'step'
+            }
+            assert g._wcs_offset_vars
+            assert g.coords_tab_labels
+
+    def test_run_with_mocked_tk(self, observation):
+        from planetmapper_tpu import gui as gui_module
+
+        g = gui_module.GUI(allow_open=False)
+        g.observation = observation
+        with mock.patch.object(gui_module, 'tk', mock.MagicMock()), \
+                mock.patch.object(gui_module, 'ttk', mock.MagicMock()), \
+                mock.patch.object(
+                    gui_module, 'FigureCanvasTkAgg', mock.MagicMock()
+                ), \
+                mock.patch.object(
+                    gui_module, 'NavigationToolbar2Tk', mock.MagicMock()
+                ), \
+                mock.patch.object(gui_module, 'Figure', mock.MagicMock()), \
+                mock.patch(
+                    'planetmapper_tpu._gui_settings.tk', mock.MagicMock()
+                ), \
+                mock.patch(
+                    'planetmapper_tpu._gui_settings.ttk', mock.MagicMock()
+                ), \
+                mock.patch.object(
+                    gui_module.GUI, 'after_setting_observation'
+                ) as mock_after:
+            g.run()
+            mock_after.assert_called_once_with()
