@@ -37,6 +37,32 @@ class ProjStringError(ValueError):
     """Bad or inconsistent proj projection string (reference body_xy.py:110)."""
 
 
+#: Spherical azimuthal family (shared forward/inverse structure)
+_AZIMUTHAL_KINDS = frozenset({'aeqd', 'laea', 'stere', 'gnom'})
+#: Spherical cylindrical / pseudocylindrical family
+_CYLINDRICAL_KINDS = frozenset({'eqc', 'merc', 'mill', 'cea', 'sinu', 'moll'})
+
+
+def _mollweide_theta(phi):
+    """
+    Solve Mollweide's auxiliary angle: 2t + sin(2t) = pi sin(phi)
+    (Newton iteration; quadratic convergence from t = phi).
+    """
+    target = np.pi * np.sin(phi)
+    theta = np.asarray(phi, dtype=float).copy()
+    with np.errstate(invalid='ignore', divide='ignore'):
+        for _ in range(10):
+            f = 2.0 * theta + np.sin(2.0 * theta) - target
+            df = 2.0 + 2.0 * np.cos(2.0 * theta)
+            step = np.where(np.abs(df) > 1e-12, f / np.where(df != 0, df, 1.0), 0.0)
+            theta = theta - step
+    # poles: the iteration is singular exactly at phi = +-pi/2
+    theta = np.where(
+        np.isclose(np.abs(phi), np.pi / 2), np.sign(phi) * np.pi / 2, theta
+    )
+    return theta
+
+
 @dataclass
 class ProjectionTransformer:
     """
@@ -50,6 +76,7 @@ class ProjectionTransformer:
     lon_0: float = 0.0
     lat_0: float = 0.0
     y_0: float = 0.0  # false northing [same units as a]
+    lat_ts: float = 0.0  # latitude of true scale (cylindrical kinds)
     to_meter: float = 1.0
     west_positive: bool = False
 
@@ -111,41 +138,68 @@ class ProjectionTransformer:
             ) * cp0
             out_x = x * self.a / self.to_meter
             out_y = (yy * self.a + self.y_0) / self.to_meter
-        elif self.kind == 'aeqd':
-            cosc = np.sin(math.radians(self.lat_0)) * np.sin(phi) + np.cos(
-                math.radians(self.lat_0)
-            ) * np.cos(phi) * np.cos(lam)
-            c = np.arccos(np.clip(cosc, -1.0, 1.0))
-            with np.errstate(invalid='ignore', divide='ignore'):
-                k = np.where(c != 0.0, c / np.sin(c), 1.0)
-            phi0 = math.radians(self.lat_0)
-            x = k * np.cos(phi) * np.sin(lam)
-            yy = k * (
-                math.cos(phi0) * np.sin(phi)
-                - math.sin(phi0) * np.cos(phi) * np.cos(lam)
-            )
-            out_x = x * self.a / self.to_meter
-            out_y = yy * self.a / self.to_meter
-        elif self.kind == 'laea':
-            phi0 = math.radians(self.lat_0)
-            denom = 1.0 + math.sin(phi0) * np.sin(phi) + math.cos(
-                phi0
-            ) * np.cos(phi) * np.cos(lam)
-            with np.errstate(invalid='ignore', divide='ignore'):
-                kp = np.sqrt(np.where(denom > 0, 2.0 / denom, np.nan))
-            x = kp * np.cos(phi) * np.sin(lam)
-            yy = kp * (
-                math.cos(phi0) * np.sin(phi)
-                - math.sin(phi0) * np.cos(phi) * np.cos(lam)
-            )
-            out_x = x * self.a / self.to_meter
-            out_y = yy * self.a / self.to_meter
+        elif self.kind in _AZIMUTHAL_KINDS:
+            out_x, out_y = self._forward_azimuthal(lam, phi)
+        elif self.kind in _CYLINDRICAL_KINDS:
+            out_x, out_y = self._forward_cylindrical(lam, phi)
         else:
             raise ProjStringError(f'Unknown projection kind {self.kind!r}')
 
         if self.west_positive:
             out_x = -out_x
         return out_x, out_y
+
+    def _forward_azimuthal(self, lam, phi):
+        """
+        Shared spherical azimuthal forward: the projections differ only in
+        the radial scale factor k(c) of the angular distance c from the
+        projection centre (Snyder 1987, ch. 20-25).
+        """
+        phi0 = math.radians(self.lat_0)
+        sp0, cp0 = math.sin(phi0), math.cos(phi0)
+        cosc = sp0 * np.sin(phi) + cp0 * np.cos(phi) * np.cos(lam)
+        c = np.arccos(np.clip(cosc, -1.0, 1.0))
+        with np.errstate(invalid='ignore', divide='ignore'):
+            if self.kind == 'aeqd':
+                k = np.where(c != 0.0, c / np.sin(c), 1.0)
+            elif self.kind == 'laea':
+                k = np.sqrt(
+                    np.where(cosc > -1.0, 2.0 / (1.0 + cosc), np.nan)
+                )
+            elif self.kind == 'stere':
+                k = np.where(cosc > -1.0, 2.0 / (1.0 + cosc), np.nan)
+            else:  # gnom: only the near hemisphere projects
+                k = np.where(cosc > 0.0, 1.0 / cosc, np.nan)
+        x = k * np.cos(phi) * np.sin(lam)
+        yy = k * (cp0 * np.sin(phi) - sp0 * np.cos(phi) * np.cos(lam))
+        return x * self.a / self.to_meter, yy * self.a / self.to_meter
+
+    def _forward_cylindrical(self, lam, phi):
+        """Spherical cylindrical / pseudocylindrical forwards (Snyder)."""
+        a = self.a / self.to_meter
+        cos_ts = math.cos(math.radians(self.lat_ts))
+        with np.errstate(invalid='ignore', divide='ignore'):
+            if self.kind == 'eqc':
+                return a * lam * cos_ts, a * phi
+            if self.kind == 'merc':
+                y = np.where(
+                    np.abs(phi) < np.pi / 2,
+                    np.log(np.tan(np.pi / 4 + phi / 2.0)),
+                    np.nan,
+                )
+                return a * lam * cos_ts, a * y * cos_ts
+            if self.kind == 'mill':
+                y = 1.25 * np.log(np.tan(np.pi / 4 + 0.4 * phi))
+                return a * lam, a * y
+            if self.kind == 'cea':
+                return a * lam * cos_ts, a * np.sin(phi) / cos_ts
+            if self.kind == 'sinu':
+                return a * lam * np.cos(phi), a * phi
+            if self.kind == 'moll':
+                theta = _mollweide_theta(phi)
+                x = (2.0 * math.sqrt(2.0) / np.pi) * a * lam * np.cos(theta)
+                return x, a * math.sqrt(2.0) * np.sin(theta)
+        raise ProjStringError(f'Unknown projection kind {self.kind!r}')
 
     # -- inverse -----------------------------------------------------------
     def _inverse(self, x, y):
@@ -157,21 +211,31 @@ class ProjectionTransformer:
 
         if self.kind == 'ortho':
             return self._inverse_ortho(x, y)
+        if self.kind in _CYLINDRICAL_KINDS:
+            return self._inverse_cylindrical(x, y)
 
         rho_x = x * self.to_meter / self.a
         rho_y = y * self.to_meter / self.a
         rho = np.hypot(rho_x, rho_y)
         phi0 = math.radians(self.lat_0)
 
-        if self.kind == 'aeqd':
-            c = rho
-            invalid = c > np.pi
-        elif self.kind == 'laea':
-            with np.errstate(invalid='ignore'):
+        with np.errstate(invalid='ignore'):
+            if self.kind == 'aeqd':
+                c = rho
+                invalid = c > np.pi
+            elif self.kind == 'laea':
                 c = 2.0 * np.arcsin(np.clip(rho / 2.0, -1.0, 1.0))
-            invalid = rho > 2.0
-        else:
-            raise ProjStringError(f'Unknown projection kind {self.kind!r}')
+                invalid = rho > 2.0
+            elif self.kind == 'stere':
+                c = 2.0 * np.arctan(rho / 2.0)
+                invalid = np.zeros(np.shape(rho), dtype=bool)
+            elif self.kind == 'gnom':
+                c = np.arctan(rho)
+                invalid = np.zeros(np.shape(rho), dtype=bool)
+            else:
+                raise ProjStringError(
+                    f'Unknown projection kind {self.kind!r}'
+                )
 
         with np.errstate(invalid='ignore', divide='ignore'):
             sinc = np.sin(c)
@@ -192,6 +256,51 @@ class ProjectionTransformer:
         lat = np.degrees(np.where(rho != 0, phi, phi0))
         lon = np.where(invalid, np.nan, lon)
         lat = np.where(invalid, np.nan, lat)
+        return lon, lat
+
+    def _inverse_cylindrical(self, x, y):
+        a = self.a / self.to_meter
+        xn = np.asarray(x, dtype=float) / a
+        yn = np.asarray(y, dtype=float) / a
+        cos_ts = math.cos(math.radians(self.lat_ts))
+        with np.errstate(invalid='ignore', divide='ignore'):
+            if self.kind == 'eqc':
+                lam, phi = xn / cos_ts, yn
+            elif self.kind == 'merc':
+                lam = xn / cos_ts
+                phi = 2.0 * np.arctan(np.exp(yn / cos_ts)) - np.pi / 2.0
+            elif self.kind == 'mill':
+                lam = xn
+                phi = 2.5 * np.arctan(np.exp(0.8 * yn)) - 0.625 * np.pi
+            elif self.kind == 'cea':
+                lam = xn / cos_ts
+                phi = np.arcsin(np.clip(yn * cos_ts, -1.0, 1.0))
+                phi = np.where(np.abs(yn * cos_ts) > 1.0, np.nan, phi)
+            elif self.kind == 'sinu':
+                phi = yn
+                lam = np.where(
+                    np.abs(phi) <= np.pi / 2, xn / np.cos(phi), np.nan
+                )
+            elif self.kind == 'moll':
+                sq2 = math.sqrt(2.0)
+                theta = np.arcsin(np.clip(yn / sq2, -1.0, 1.0))
+                phi = np.arcsin(
+                    np.clip(
+                        (2.0 * theta + np.sin(2.0 * theta)) / np.pi,
+                        -1.0, 1.0,
+                    )
+                )
+                lam = np.pi * xn / (2.0 * sq2 * np.cos(theta))
+                bad = (np.abs(yn) > sq2) | (np.abs(lam) > np.pi)
+                lam = np.where(bad, np.nan, lam)
+                phi = np.where(bad, np.nan, phi)
+            else:
+                raise ProjStringError(
+                    f'Unknown projection kind {self.kind!r}'
+                )
+            invalid = np.abs(lam) > np.pi * (1.0 + 1e-9)
+        lon = self.lon_0 + np.degrees(np.where(invalid, np.nan, lam))
+        lat = np.degrees(np.where(invalid, np.nan, phi))
         return lon, lat
 
     def _inverse_ortho(self, x, y):
@@ -249,6 +358,14 @@ _SUPPORTED_PROJ_NAMES = {
     'ortho': 'ortho',
     'aeqd': 'aeqd',
     'laea': 'laea',
+    'stere': 'stere',
+    'gnom': 'gnom',
+    'eqc': 'eqc',
+    'merc': 'merc',
+    'mill': 'mill',
+    'cea': 'cea',
+    'sinu': 'sinu',
+    'moll': 'moll',
     'lonlat': 'lonlat',
     'longlat': 'lonlat',
     'latlon': 'lonlat',
@@ -266,6 +383,9 @@ def transformer_from_proj_string(projection: str) -> ProjectionTransformer:
     name = m.group(1)
     kind = _SUPPORTED_PROJ_NAMES.get(name)
     if kind is None:
+        transformer = _maybe_pyproj_transformer(projection)
+        if transformer is not None:
+            return transformer
         raise NotImplementedError(
             f'Projection {name!r} is not supported natively (supported: '
             f'{sorted(set(_SUPPORTED_PROJ_NAMES))}). Install pyproj for '
@@ -288,6 +408,23 @@ def transformer_from_proj_string(projection: str) -> ProjectionTransformer:
         lon_0=fget('lon_0', 0.0),
         lat_0=fget('lat_0', 0.0),
         y_0=fget('y_0', 0.0),
+        lat_ts=fget('lat_ts', 0.0),
         to_meter=fget('to_meter', 1.0),
         west_positive=params.get('axis', 'enu').startswith('w'),
     )
+
+
+def _maybe_pyproj_transformer(projection: str):
+    """
+    Optional pyproj fallback for projections without a native
+    implementation: when pyproj is installed, any PROJ string the
+    reference accepts works here too (reference body_xy.py:3140-3149).
+    """
+    try:
+        import pyproj
+    except ImportError:
+        return None
+
+    crs = pyproj.CRS(projection)
+    lonlat = crs.geodetic_crs if crs.geodetic_crs is not None else crs
+    return pyproj.Transformer.from_crs(lonlat, crs, always_xy=True)
