@@ -16,6 +16,7 @@ from __future__ import annotations
 import datetime
 import functools
 import math
+import os
 from typing import Any, Callable, Literal, Sequence, TypedDict, TypeVar
 
 import numpy as np
@@ -130,6 +131,21 @@ class _LazyFormattingDict(dict):
 
 
 DEFAULT_WIREFRAME_FORMATTING: dict = _LazyFormattingDict()
+
+
+def lst_quantization_enabled() -> bool:
+    """
+    Whether LOCAL-SOLAR-TIME values are quantised to whole seconds.
+
+    CSPICE's et2lst returns integer (hr, mn, sc), so the reference's LST
+    backplane is inherently quantised; this framework reproduces that by
+    default for output parity. Scientific users who want the continuous
+    value can set ``PLANETMAPPER_TPU_LST_QUANTIZATION=off`` - the
+    quantisation is a formatting convention, not part of the geometry.
+    """
+    return os.environ.get(
+        'PLANETMAPPER_TPU_LST_QUANTIZATION', 'on'
+    ).lower() not in ('off', '0', 'false')
 
 
 class _AdjustedSurfaceAltitude:
@@ -1465,7 +1481,9 @@ class Body(BodyBase):
         lon_e = -lon if self.positive_longitude_direction == 'W' else lon
         sign = 1.0 if self.prograde else -1.0
         lst = np.mod(12.0 + sign * (lon_e - sun_lon_e) * 12.0 / np.pi, 24.0)
-        return np.floor(lst * 3600.0) / 3600.0
+        if lst_quantization_enabled():
+            lst = np.floor(lst * 3600.0) / 3600.0
+        return lst
 
     def local_solar_time_from_lon(self, lon: float) -> float:
         """Numerical local solar time in 'local hours' for a longitude."""

@@ -387,7 +387,10 @@ def fused_backplanes_fn(
             12.0 + spin_sign * (lon_e - anchors['solar_lon_e']) * 12.0 / jnp.pi,
             24.0,
         )
-        lst = jnp.floor(lst * 3600.0) / 3600.0
+        from .body import lst_quantization_enabled
+
+        if lst_quantization_enabled():
+            lst = jnp.floor(lst * 3600.0) / 3600.0
         out['LOCAL-SOLAR-TIME'] = jnp.where(found, lst, jnp.nan)
 
         # -- state: distance / radial velocity / doppler -------------------
@@ -768,7 +771,10 @@ def _mixed_impl_fn(
         lst = jnp.where(lst < 0.0, lst + 24.0, lst)
         lst = jnp.where(lst >= 24.0, lst - 24.0, lst)
         lst = jnp.where(lst >= 24.0, lst - 24.0, lst)
-        lst = jnp.floor(lst * 3600.0) / 3600.0
+        from .body import lst_quantization_enabled
+
+        if lst_quantization_enabled():
+            lst = jnp.floor(lst * 3600.0) / 3600.0
         out['LOCAL-SOLAR-TIME'] = jnp.where(found, lst, jnp.nan)
 
         # ------- state: distance / radial velocity / doppler ---------------
@@ -933,6 +939,12 @@ def _obsvec2targvec_lin(anchors, obsvec):
 _PIPELINE_CACHE: dict[tuple, Any] = {}
 
 
+def _lst_quantization() -> bool:
+    from .body import lst_quantization_enabled
+
+    return lst_quantization_enabled()
+
+
 def get_fused_pipeline(body, nx: int, ny: int):
     """
     Jitted fused pipeline for a body's configuration and image size.
@@ -946,6 +958,7 @@ def get_fused_pipeline(body, nx: int, ny: int):
         body.aberration_correction, body.positive_longitude_direction,
         body.prograde, body._engine._pos_s is not None,
         bool(body._optimize_speed), nx, ny, precision,
+        _lst_quantization(),
     )
     fn = _PIPELINE_CACHE.get(key)
     if fn is None:
