@@ -50,45 +50,67 @@ def backplane_time_series(
 
     bodies = [_body_at_time(body, t) for t in times]
     anchor_list = [b._get_pipeline_anchors() for b in bodies]
-    anchors = {
-        k: jnp.stack([jnp.asarray(a[k]) for a in anchor_list])
+    # Stack on host, transfer once: per-key jnp.stack would issue hundreds
+    # of tiny device ops (expensive through a remote-TPU transport)
+    anchors = jax.device_put({
+        k: np.stack([np.asarray(a[k]) for a in anchor_list])
         for k in anchor_list[0]
-    }
-    xy2angular = jnp.stack(
-        [jnp.asarray(b._get_xy2angular_matrix()) for b in bodies]
+    })
+    xy2angular = jax.device_put(
+        np.stack([np.asarray(b._get_xy2angular_matrix()) for b in bodies])
     )
-    disc = jnp.asarray(body.get_disc_params(), dtype=jnp.float64)
-    radii = jnp.asarray(body.radii, dtype=jnp.float64)
+    disc = np.asarray(body.get_disc_params(), dtype=np.float64)
+    radii = np.asarray(body.radii, dtype=np.float64)
 
-    impl = fused_backplanes_fn(
-        positive_west=body.positive_longitude_direction == 'W',
-        prograde=body.prograde,
-        have_sun=body._engine._pos_s is not None,
-        optimize_speed=bool(body._optimize_speed),
-        precision=getattr(body, '_pipeline_precision', DEFAULT_PRECISION),
+    wanted = (
+        None
+        if names is None
+        else tuple(sorted(body.standardise_backplane_name(n) for n in names))
     )
-
-    def single(xy2ang_t, anchors_t):
-        return impl(nx, ny, xy2ang_t, disc, radii, anchors_t)
-
-    batched = jax.vmap(single, in_axes=(0, 0))
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
-        batched = jax.jit(
-            batched,
-            out_shardings=NamedSharding(mesh, P(mesh.axis_names[0], None, None)),
+    precision = getattr(body, '_pipeline_precision', DEFAULT_PRECISION)
+    key = (
+        body.target_body_id, body._observer_body_id,
+        body.aberration_correction, body.positive_longitude_direction,
+        body.prograde, body._engine._pos_s is not None,
+        bool(body._optimize_speed), nx, ny, len(bodies), precision,
+        wanted, None if mesh is None else tuple(mesh.axis_names),
+    )
+    batched = _BATCHED_CACHE.get(key)
+    if batched is None:
+        impl = fused_backplanes_fn(
+            positive_west=body.positive_longitude_direction == 'W',
+            prograde=body.prograde,
+            have_sun=body._engine._pos_s is not None,
+            optimize_speed=bool(body._optimize_speed),
+            precision=precision,
         )
-        del sharding
-    else:
-        batched = jax.jit(batched)
 
-    out = batched(xy2angular, anchors)
-    if names is not None:
-        wanted = {body.standardise_backplane_name(n) for n in names}
-        out = {k: v for k, v in out.items() if k in wanted}
-    return {k: np.asarray(v) for k, v in out.items()}
+        def single(xy2ang_t, anchors_t, disc, radii):
+            out = impl(nx, ny, xy2ang_t, disc, radii, anchors_t)
+            if wanted is not None:
+                # Selecting at trace time lets XLA drop unused planes
+                out = {k: out[k] for k in wanted}
+            return out
+
+        batched = jax.vmap(single, in_axes=(0, 0, None, None))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batched = jax.jit(
+                batched,
+                out_shardings=NamedSharding(
+                    mesh, P(mesh.axis_names[0], None, None)
+                ),
+            )
+        else:
+            batched = jax.jit(batched)
+        _BATCHED_CACHE[key] = batched
+
+    out = batched(xy2angular, anchors, disc, radii)
+    return jax.device_get(out)
+
+
+_BATCHED_CACHE: dict = {}
 
 
 def _body_at_time(body, t):

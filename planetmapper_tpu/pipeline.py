@@ -714,9 +714,12 @@ def _mixed_impl_fn(
             point_ssb = (
                 anchors['targ_pos0'] + targ_vel0 * dtau[..., None] + point_j
             )
-            lt_s = fm.norm3_64(anchors['sun_pos0'] - point_ssb) * (
-                1.0 / CLIGHT
-            )
+            # f32 ample: a ~1e-4 s epoch error moves the sun direction
+            # by ~3e-12 rad
+            sun_off32 = (anchors['sun_pos0'] - point_ssb).astype(f32)
+            lt_s = jnp.sqrt(fm.dot3(sun_off32, sun_off32)).astype(
+                jnp.float64
+            ) * (1.0 / CLIGHT)
             sun_dtau = (tau0 - anchors['sun_epoch0']) + dtau - lt_s
             sun_pos = anchors['sun_pos0'] + anchors['sun_vel0'] * (
                 sun_dtau[..., None]
@@ -875,30 +878,40 @@ def _mixed_impl_fn(
         rx = ring_targvec[..., 0]
         ry = ring_targvec[..., 1]
         rz = ring_targvec[..., 2]
-        rrho = fm.hypot64(rx, ry)
         ring_lon_e = jnp.arctan2(ry, rx)  # [f64 T9]
         # Bowring (trig-free, geocentric init + 2 steps) for the exterior
-        # ring points; converges to machine precision there
-        rw = rrho * omf
-        rrb = fm.rsqrt64(rz * rz + rw * rw)
-        rsb = rz * rrb
+        # ring points, in f32: the RING-RADIUS tolerance is relative
+        # (rtol 1e-5 of ~1e5+ km values), far above f32 rounding
+        rx32 = rx.astype(f32)
+        ry32 = ry.astype(f32)
+        rz32 = rz.astype(f32)
+        rrho = jnp.sqrt(rx32 * rx32 + ry32 * ry32)
+        omf32 = omf.astype(f32)
+        e2_32 = e2.astype(f32)
+        ep2_32 = ep2.astype(f32)
+        re32_ = re.astype(f32)
+        rw = rrho * omf32
+        rrb = lax.rsqrt(rz32 * rz32 + rw * rw)
+        rsb = rz32 * rrb
         rcb = rw * rrb
         for _ in range(2):
-            rnum = rz + ep2 * (re * omf) * rsb * rsb * rsb
-            rden = rrho - e2 * re * rcb * rcb * rcb
-            rr2 = fm.rsqrt64(rnum * rnum + rden * rden)
+            rnum = rz32 + ep2_32 * (re32_ * omf32) * rsb * rsb * rsb
+            rden = rrho - e2_32 * re32_ * rcb * rcb * rcb
+            rr2 = lax.rsqrt(rnum * rnum + rden * rden)
             rsl = rnum * rr2  # sin(lat)
             rcl = rden * rr2  # cos(lat)
-            rb2 = fm.rsqrt64(omf * omf * rsl * rsl + rcl * rcl)
-            rsb = omf * rsl * rb2
+            rb2 = lax.rsqrt(omf32 * omf32 * rsl * rsl + rcl * rcl)
+            rsb = omf32 * rsl * rb2
             rcb = rcl * rb2
-        rnum = rz + ep2 * (re * omf) * rsb * rsb * rsb
-        rden = rrho - e2 * re * rcb * rcb * rcb
-        rr2 = fm.rsqrt64(rnum * rnum + rden * rden)
+        rnum = rz32 + ep2_32 * (re32_ * omf32) * rsb * rsb * rsb
+        rden = rrho - e2_32 * re32_ * rcb * rcb * rcb
+        rr2 = lax.rsqrt(rnum * rnum + rden * rden)
         rsl = rnum * rr2
         rcl = rden * rr2
-        n_r = re * fm.rsqrt64(1.0 - e2 * rsl * rsl)
-        ring_alt = rrho * rcl + rz * rsl - n_r * (1.0 - e2 * rsl * rsl)
+        n_r = re32_ * lax.rsqrt(1.0 - e2_32 * rsl * rsl)
+        ring_alt = (
+            rrho * rcl + rz32 * rsl - n_r * (1.0 - e2_32 * rsl * rsl)
+        ).astype(jnp.float64)
         ring_distance = s_r  # |s * d| with |d| = 1
         ring_radius = ring_alt + re
         ring_lon = _mod360(lon_sign * ring_lon_e * (1.0 / DEG))
@@ -908,6 +921,14 @@ def _mixed_impl_fn(
         out['RING-LON-GRAPHIC'] = jnp.where(ring_invalid, jnp.nan, ring_lon)
         out['RING-DISTANCE'] = jnp.where(ring_invalid, jnp.nan, ring_distance)
 
+        # Write float32 outputs: halves the HBM traffic of the 26 planes
+        # (~30 ms at 2048^2 through this stack) and the 6e-8 relative
+        # rounding sits far below every output tolerance. RADIAL-VELOCITY
+        # keeps f64 (its values carry a tight *absolute* tolerance).
+        out = {
+            k: (v if k == 'RADIAL-VELOCITY' else v.astype(jnp.float32))
+            for k, v in out.items()
+        }
         return out
 
     return impl
@@ -945,6 +966,24 @@ def _lst_quantization() -> bool:
     return lst_quantization_enabled()
 
 
+#: Shape buckets: the compiled program computes the bucketed grid and the
+#: caller slices the true (ny, nx) out, so ONE compilation serves every
+#: image size in a bucket (per-pixel values are independent, so padding
+#: changes nothing numerically). Cold-start compiles dominate first use
+#: otherwise (~minutes per new shape through a remote-TPU compile service).
+_NX_BUCKETS = (
+    16, 32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
+    3072, 4096,
+)
+
+
+def _bucket_size(n: int) -> int:
+    for b in _NX_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 1024) * 1024
+
+
 def get_fused_pipeline(body, nx: int, ny: int):
     """
     Jitted fused pipeline for a body's configuration and image size.
@@ -953,11 +992,15 @@ def get_fused_pipeline(body, nx: int, ny: int):
     import jax
 
     precision = getattr(body, '_pipeline_precision', DEFAULT_PRECISION)
+    band_rows = 64
+    nx_b = _bucket_size(nx)
+    tiled = ny > 4 * band_rows
+    ny_b = -(-ny // band_rows) * band_rows if tiled else _bucket_size(ny)
     key = (
         body.target_body_id, body._observer_body_id,
         body.aberration_correction, body.positive_longitude_direction,
         body.prograde, body._engine._pos_s is not None,
-        bool(body._optimize_speed), nx, ny, precision,
+        bool(body._optimize_speed), nx_b, ny_b, precision,
         _lst_quantization(),
     )
     fn = _PIPELINE_CACHE.get(key)
@@ -973,33 +1016,39 @@ def get_fused_pipeline(body, nx: int, ny: int):
         # Row-band tiling: mapping the per-pixel program over bands keeps
         # each band's intermediates resident in VMEM instead of spilling
         # ~50 full-frame f64 temporaries to HBM (measured ~2.2x at 2048^2).
-        band_rows = 64
-        if ny <= 4 * band_rows:
+        if not tiled:
             def wrapped(xy2angular, disc, radii, anchors):
-                return impl(nx, ny, xy2angular, disc, radii, anchors)
+                return impl(nx_b, ny_b, xy2angular, disc, radii, anchors)
         else:
             import jax.numpy as jnp
             from jax import lax
 
-            n_bands = -(-ny // band_rows)
-            ny_padded = n_bands * band_rows
+            n_bands = ny_b // band_rows
 
             def wrapped(xy2angular, disc, radii, anchors):
                 def band(i):
                     row0 = (i * band_rows).astype(jnp.float64)
                     return impl(
-                        nx, band_rows, xy2angular, disc, radii, anchors,
+                        nx_b, band_rows, xy2angular, disc, radii, anchors,
                         row0=row0,
                     )
 
                 outs = lax.map(band, jnp.arange(n_bands))
                 return {
-                    k: v.reshape(ny_padded, nx)[:ny] for k, v in outs.items()
+                    k: v.reshape(ny_b, nx_b) for k, v in outs.items()
                 }
 
         fn = jax.jit(wrapped)
         _PIPELINE_CACHE[key] = fn
-    return fn
+
+    if nx_b == nx and ny_b == ny:
+        return fn
+
+    def sliced(xy2angular, disc, radii, anchors):
+        out = fn(xy2angular, disc, radii, anchors)
+        return {k: v[:ny, :nx] for k, v in out.items()}
+
+    return sliced
 
 
 def compute_backplanes(body, *, as_numpy: bool = True) -> dict[str, Any]:

@@ -65,9 +65,24 @@ def main() -> None:
         anchors,
     ))
 
+    TILED = os.environ.get('PROF_TILED', '1') not in ('0', 'off')
+    BAND = 64
+
     def time_fn(keys):
         def wrapped(xy2angular, disc, radii, anchors):
-            out = impl(SIZE, SIZE, xy2angular, disc, radii, anchors)
+            if TILED:
+                from jax import lax
+
+                n_bands = SIZE // BAND
+
+                def band(i):
+                    row0 = (i * BAND).astype(jnp.float64)
+                    return impl(SIZE, BAND, xy2angular, disc, radii,
+                                anchors, row0=row0)
+
+                out = lax.map(band, jnp.arange(n_bands))
+            else:
+                out = impl(SIZE, SIZE, xy2angular, disc, radii, anchors)
             return sum(jnp.nansum(out[k]) for k in keys)
 
         fn = jax.jit(wrapped)

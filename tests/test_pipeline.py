@@ -21,14 +21,16 @@ def kernels():
 # agree to ~1e-5 deg (linearisation truncation); km-valued distance planes
 # to tens of metres out of ~8e8 km (grazing-incidence light-time
 # convergence jitter, relative ~3e-11).
+# (atol, rtol) per plane: km-valued planes grow with distance, so a
+# relative term applies (same semantics as the FITS regression comparison)
 TOLS = {
-    'DISTANCE': 0.05,
-    'RING-DISTANCE': 0.05,
-    'RING-RADIUS': 0.05,
-    'KM-X': 1e-4,
-    'KM-Y': 1e-4,
-    'LIMB-DISTANCE': 1e-4,
-    'RADIAL-VELOCITY': 1e-6,
+    'DISTANCE': (0.05, 5e-7),
+    'RING-DISTANCE': (0.05, 5e-7),
+    'RING-RADIUS': (0.05, 5e-7),
+    'KM-X': (1e-4, 2e-7),
+    'KM-Y': (1e-4, 2e-7),
+    'LIMB-DISTANCE': (1e-4, 2e-7),
+    'RADIAL-VELOCITY': (1e-6, 0.0),
 }
 
 
@@ -47,8 +49,9 @@ def _compare(body):
         diff = np.abs(exact[both] - f[both])
         if 'LON' in name:
             diff = np.minimum(diff, 360.0 - diff)
-        tol = TOLS.get(name, 5e-5)
-        assert diff.max() < tol, f'{name}: max diff {diff.max()}'
+        atol, rtol = TOLS.get(name, (5e-5, 0.0))
+        tol = atol + rtol * np.abs(exact[both])
+        assert np.all(diff < tol), f'{name}: max excess {np.max(diff - tol)}'
 
 
 class TestFusedPipeline:
