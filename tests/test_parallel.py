@@ -124,3 +124,47 @@ class TestTimeSeries:
         times = [f'2005-01-01T0{i}:00:00' for i in range(4)]
         out = backplane_time_series(body, times, names=['EMISSION'], mesh=mesh)
         assert out['EMISSION'].shape == (4, 8, 8)
+
+
+class TestMultihost:
+    def test_initialize_single_process_noop(self):
+        from planetmapper_tpu.parallel import initialize_distributed
+
+        initialize_distributed()  # single process: must be a no-op
+
+    def test_multihost_mesh_and_shardings(self):
+        import jax
+
+        from planetmapper_tpu.parallel import (
+            frame_sharding,
+            make_multihost_mesh,
+            pixel_row_sharding,
+        )
+
+        mesh = make_multihost_mesh()
+        assert mesh.axis_names == ('frames', 'px')
+        assert mesh.devices.size == len(jax.devices())
+        assert mesh.shape['frames'] == max(1, jax.process_count())
+        fs = frame_sharding(mesh)
+        ps = pixel_row_sharding(mesh)
+        assert fs.spec[0] == 'frames'
+        assert ps.spec[1] == 'px'
+
+    def test_time_series_on_multihost_mesh(self):
+        import numpy as np
+
+        from planetmapper_tpu import BodyXY
+        from planetmapper_tpu.parallel import (
+            backplane_time_series,
+            make_mesh,
+            make_multihost_mesh,
+        )
+
+        body = BodyXY('Jupiter', utc='2005-01-01T00:00:00', nx=8, ny=8)
+        body.set_disc_params(4, 4, 3, 0.0)
+        # single process: the 'frames' axis has size 1, so shard over px
+        mesh = make_mesh(8, axis_names=('data',))
+        times = [body.et + 60.0 * i for i in range(8)]
+        out = backplane_time_series(body, times, names=['EMISSION'], mesh=mesh)
+        assert out['EMISSION'].shape == (8, 8, 8)
+        assert np.isfinite(out['EMISSION']).any()
