@@ -7,8 +7,37 @@ scalar SPICE loops of the reference become one vmapped, jitted device
 pipeline fed by an on-device ephemeris/frame engine compiled from SPICE
 kernels at scene-construction time.
 
+Coordinate systems
+------------------
+Every public transform converts between these systems (each is an adapter
+to/from the internal observer-frame rectangular vector, mirroring the
+reference's architecture, body.py:876-887):
+
+- ``xy``: image pixel coordinates of an observation. ``(0, 0)`` is the
+  centre of the bottom-left pixel; x increases rightwards and y upwards.
+  Set by the disc parameters ``(x0, y0, r0, rotation)``.
+- ``radec``: J2000 right ascension / declination in degrees, as seen by
+  the observer (the sky position).
+- ``lonlat``: planetographic longitude / latitude on the target body in
+  degrees (positive-west or positive-east following the body's IAU
+  convention; ``planetocentric=True`` selects planetocentric instead).
+- ``km``: distance in km from the centre of the target in the target
+  plane, with the north pole of the body pointing up.
+- ``angular``: relative angular coordinates in arcseconds, by default
+  centred on the target with celestial north up (customisable origin and
+  rotation via ``origin_ra``/``origin_dec``/``coordinate_rotation``).
+
+Internally ``targvec`` (body-fixed rectangular), ``obsvec`` (observer
+J2000 rectangular), ``obsvec_norm`` (normalised obsvec) and ``rayvec``
+(observer->point ray) appear in private APIs.
+
+Units are degrees, km, seconds and km/s throughout unless a name says
+otherwise (``angular`` coordinates and plate scales use arcseconds).
+
 Double precision is enabled globally on import: planetary geometry needs
-km-scale precision at ~1e9 km distances, far beyond float32.
+km-scale precision at ~1e9 km distances, far beyond float32. (On TPU the
+fused pipeline then re-introduces float32 deliberately where an error
+analysis allows it - see :mod:`planetmapper_tpu.pipeline`.)
 """
 
 from __future__ import annotations

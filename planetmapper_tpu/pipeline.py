@@ -992,7 +992,7 @@ def get_fused_pipeline(body, nx: int, ny: int):
     import jax
 
     precision = getattr(body, '_pipeline_precision', DEFAULT_PRECISION)
-    band_rows = 64
+    band_rows = int(os.environ.get('PLANETMAPPER_TPU_BAND_ROWS', '32'))
     nx_b = _bucket_size(nx)
     tiled = ny > 4 * band_rows
     ny_b = -(-ny // band_rows) * band_rows if tiled else _bucket_size(ny)
