@@ -148,7 +148,7 @@ def main() -> None:
 
     size = int(os.environ.get('BENCH_SIZE', '2048'))
     n_runs = int(os.environ.get('BENCH_RUNS', '5'))
-    cube_frames = int(os.environ.get('BENCH_CUBE_FRAMES', '64'))
+    cube_frames = int(os.environ.get('BENCH_CUBE_FRAMES', '1000'))
 
     detail = {'size': size, 'device': str(jax.devices()[0]),
               'backend': jax.default_backend()}

@@ -48,17 +48,11 @@ def backplane_time_series(
     if nx <= 0 or ny <= 0:
         raise ValueError('Template body must have a valid image size')
 
-    bodies = [_body_at_time(body, t) for t in times]
-    anchor_list = [b._get_pipeline_anchors() for b in bodies]
-    # Stack on host, transfer once: per-key jnp.stack would issue hundreds
-    # of tiny device ops (expensive through a remote-TPU transport)
-    anchors = jax.device_put({
-        k: np.stack([np.asarray(a[k]) for a in anchor_list])
-        for k in anchor_list[0]
-    })
-    xy2angular = jax.device_put(
-        np.stack([np.asarray(b._get_xy2angular_matrix()) for b in bodies])
-    )
+    ets = _ets_from_times(body, times)
+    anchors, xy2angular = _batched_pipeline_inputs(body, ets)
+    n_times = len(ets)
+    anchors = jax.device_put(anchors)
+    xy2angular = jax.device_put(xy2angular)
     disc = np.asarray(body.get_disc_params(), dtype=np.float64)
     radii = np.asarray(body.radii, dtype=np.float64)
 
@@ -72,7 +66,7 @@ def backplane_time_series(
         body.target_body_id, body._observer_body_id,
         body.aberration_correction, body.positive_longitude_direction,
         body.prograde, body._engine._pos_s is not None,
-        bool(body._optimize_speed), nx, ny, len(bodies), precision,
+        bool(body._optimize_speed), nx, ny, n_times, precision,
         wanted, None if mesh is None else tuple(mesh.axis_names),
     )
     batched = _BATCHED_CACHE.get(key)
@@ -111,6 +105,157 @@ def backplane_time_series(
 
 
 _BATCHED_CACHE: dict = {}
+
+
+def _ets_from_times(body, times) -> np.ndarray:
+    """Normalise mixed time inputs (et floats / UTC strings / MJD) to et."""
+    from ..core.time import utc_string_to_et
+
+    lsk = body._lsk()
+    ets = []
+    for t in times:
+        if isinstance(t, (int, float)) and abs(float(t)) > 1e6:
+            ets.append(float(t))  # TDB seconds past J2000
+        else:
+            # UTC strings / datetimes / MJD floats, like Body(utc=...)
+            utc = body._standardise_utc_to_string(t)
+            ets.append(utc_string_to_et(utc, lsk))
+    return np.asarray(ets, dtype=np.float64)
+
+
+def _batched_pipeline_inputs(body, ets: np.ndarray):
+    """
+    All per-time fused-pipeline anchors and camera matrices from ONE
+    jitted, vmapped device program (the "vmapped SPK eval" path): no
+    per-time Body construction, so a 1000-frame cube batch costs
+    milliseconds per frame instead of the ~50 ms of host round trips a
+    Body takes to build.
+
+    Verified against the per-Body path in tests/test_parallel.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import geometry as geom
+    from ..core.ephemeris import CLIGHT
+    from ..core.frames import _rotmat_jnp
+    from ..core.scene import _host_device
+
+    engine = body._engine
+    radii = np.asarray(body.radii, dtype=np.float64)
+    r_eq = float(radii[0])
+    x0, y0, r0, rotation_deg = (float(v) for v in body.get_disc_params())
+
+    def per_time(et):
+        scene = engine._scene_constants_impl(et, jnp.asarray(radii))
+        tau0 = scene['subpoint_et']
+        target_lt = scene['target_lt']
+
+        rot_fn = engine.frame_model.j2000_to_bodyfixed_matrix
+        rot0 = rot_fn(tau0)
+        rot1 = jax.jacfwd(rot_fn)(tau0)
+        rot2 = jax.jacfwd(jax.jacfwd(rot_fn))(tau0)
+        targ_state = engine._pos_t(tau0)
+        obs_state = engine._pos_o(et)
+        if engine._pos_s is not None:
+            lt_s = jnp.zeros_like(tau0)
+            for _ in range(4):
+                sun_state = engine._pos_s(tau0 - lt_s)
+                lt_s = jnp.linalg.norm(
+                    sun_state[..., :3] - targ_state[..., :3], axis=-1
+                ) / CLIGHT
+            sun_epoch = tau0 - lt_s
+            sun_state = engine._pos_s(sun_epoch)
+        else:
+            sun_epoch = tau0
+            sun_state = jnp.full(6, jnp.nan, dtype=jnp.float64)
+        solar_lon = engine.solar_longitude(et - target_lt)
+
+        # Camera: obsvec->angular matrix centred on the apparent target
+        # (Body._get_obsvec2angular_matrix equivalent, in-graph)
+        t_obsvec = scene['target_obsvec']
+        t_norm = t_obsvec / jnp.linalg.norm(t_obsvec)
+        _r1, ra_angle, _d1 = geom.rect_to_radec(t_norm)
+        m_ra = _rotmat_jnp(jnp, ra_angle, 3)
+        _r2, _a2, dec_angle = geom.rect_to_radec(m_ra @ t_norm)
+        m_ang = _rotmat_jnp(jnp, -dec_angle, 2) @ m_ra
+
+        def obsvec2angular(v):
+            vec = m_ang @ v
+            _rr, xr, yr = geom.rect_to_radec(vec)
+            x = jnp.mod(-jnp.rad2deg(xr), 360.0)
+            x = jnp.where(x > 180.0, x - 360.0, x)
+            return x * 3600.0, jnp.rad2deg(yr) * 3600.0
+
+        target_distance = target_lt * CLIGHT
+        diameter_as = (
+            2.0 * 3600.0 * jnp.rad2deg(jnp.arcsin(r_eq / target_distance))
+        )
+        km_per_arcsec = 2.0 * r_eq / diameter_as
+
+        # North pole angle (Body.north_pole_angle equivalent, in-graph)
+        np_targvec = jnp.array([0.0, 0.0, float(radii[2])])
+        np_obsvec = engine._targvec2obsvec_core(np_targvec, scene)
+        np_x, np_y = obsvec2angular(
+            np_obsvec / jnp.linalg.norm(np_obsvec)
+        )
+        t_x, t_y = obsvec2angular(t_norm)
+        theta = -jnp.arctan2(t_x - np_x, np_y - t_y)
+
+        # angular->km and xy->angular affines (body_xy equivalents)
+        c_t = jnp.cos(theta)
+        s_t = jnp.sin(theta)
+        rot2d = jnp.array([[c_t, -s_t], [s_t, c_t]])
+        km2angular = rot2d / km_per_arcsec
+        angular2km = rot2d.T * km_per_arcsec
+
+        plate_scale = diameter_as / (2.0 * r0)
+        rot_rad = -jnp.deg2rad(rotation_deg)
+        c_r = jnp.cos(rot_rad)
+        s_r = jnp.sin(rot_rad)
+        m2 = plate_scale * jnp.array([[c_r, -s_r], [s_r, c_r]])
+        offset = -m2 @ jnp.array([x0, y0])
+        xy2angular = jnp.concatenate(
+            [
+                jnp.concatenate([m2, offset[:, None]], axis=1),
+                jnp.array([[0.0, 0.0, 1.0]]),
+            ],
+            axis=0,
+        )
+        del km2angular
+
+        anchors = dict(
+            et=et,
+            tau0=tau0,
+            rot0=rot0, rot1=rot1, rot2=rot2,
+            targ_pos0=targ_state[..., :3],
+            targ_vel0=targ_state[..., 3:],
+            obs_pos=obs_state[..., :3],
+            obs_vel=obs_state[..., 3:],
+            sun_pos0=sun_state[..., :3],
+            sun_vel0=sun_state[..., 3:],
+            sun_epoch0=sun_epoch,
+            target_lt=target_lt,
+            target_obsvec=t_obsvec,
+            subpoint_targvec=scene['subpoint_targvec'],
+            subpoint_rayvec=scene['subpoint_rayvec'],
+            subpoint_obsvec=scene['subpoint_obsvec'],
+            subpoint_distance=scene['subpoint_distance'],
+            ring_plane_normal=scene['ring_plane_normal'],
+            ring_plane_constant=scene['ring_plane_constant'],
+            solar_lon_e=solar_lon,
+            obsvec2angular=m_ang,
+            angular2km=angular2km,
+        )
+        return anchors, xy2angular
+
+    fn = getattr(engine, '_batched_inputs_jit', None)
+    if fn is None:
+        fn = jax.jit(jax.vmap(per_time))
+        engine._batched_inputs_jit = fn
+    with _host_device():
+        anchors, xy2angular = jax.device_get(fn(jnp.asarray(ets)))
+    return anchors, xy2angular
 
 
 def _body_at_time(body, t):
