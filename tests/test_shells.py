@@ -7,9 +7,7 @@ contracts and the API-contract meta-test
 """
 
 import inspect
-import io
 import os
-import tempfile
 import unittest.mock as mock
 
 import matplotlib
