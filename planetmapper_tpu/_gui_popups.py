@@ -410,6 +410,10 @@ class SavingProgress(Popup):
         self.window.bind('<Escape>', self.press_escape)
 
     def start(self) -> None:
+        if not self.is_open:
+            # A save is already in progress (single-instance popup
+            # deferred to it): don't spawn a second concurrent writer
+            return
         thread = threading.Thread(target=self.run_save, daemon=True)
         thread.start()
         self._poll()

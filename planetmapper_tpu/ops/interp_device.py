@@ -124,8 +124,14 @@ def _spline_eval_fn(kx: int, ky: int, batched: bool, propagate_nan: bool):
         c = c.astype(jnp.float32)
         y = y.astype(jnp.float32)
         x = x.astype(jnp.float32)
-        ny_b, iy = _bspline_basis(jnp, ty, ky, y)
-        nx_b, ix = _bspline_basis(jnp, tx, kx, x)
+        # FITPACK's fpbisp clamps evaluation coordinates into the knot
+        # domain (scipy .ev returns the boundary value outside the grid);
+        # without this the boundary polynomial would extrapolate. The
+        # NaN-propagation mask below tests the UNCLAMPED coordinates.
+        yc = jnp.clip(y, ty[ky], ty[-ky - 1])
+        xc = jnp.clip(x, tx[kx], tx[-kx - 1])
+        ny_b, iy = _bspline_basis(jnp, ty, ky, yc)
+        nx_b, ix = _bspline_basis(jnp, tx, kx, xc)
         n_cx = tx.shape[0] - kx - 1
         val = jnp.zeros_like(y)
         for a in range(ky + 1):
@@ -210,7 +216,11 @@ def spline_interpolation_device(
         )
         if knots is None:
             knots = (ty, tx)
-        elif ty.shape != knots[0].shape or tx.shape != knots[1].shape:
+        elif not (
+            np.array_equal(ty, knots[0]) and np.array_equal(tx, knots[1])
+        ):
+            # FITPACK places knots adaptively when smoothing: frames can
+            # share knot counts but not positions, so compare values
             # Different smoothing outcomes per frame: rare; evaluate alone
             fn = _spline_eval_fn(kx, ky, False, propagate_nan)
             vals = fn(

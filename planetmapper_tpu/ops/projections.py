@@ -50,7 +50,16 @@ def _mollweide_theta(phi):
     """
     target = np.pi * np.sin(phi)
     theta = np.asarray(phi, dtype=float).copy()
+    # Near the poles Newton stalls (F' = 2 + 2cos(2t) -> 0): start from the
+    # asymptotic solution psi = (3 delta / 4)^(1/3) of
+    # 2(pi/2 - psi) + sin(2(pi/2 - psi)) = pi - delta
     with np.errstate(invalid='ignore', divide='ignore'):
+        near_pole = np.abs(target) > 0.9 * np.pi
+        delta = np.pi - np.abs(target)
+        psi = np.cbrt(0.75 * np.maximum(delta, 0.0))
+        theta = np.where(
+            near_pole, np.sign(phi) * (np.pi / 2.0 - psi), theta
+        )
         for _ in range(10):
             f = 2.0 * theta + np.sin(2.0 * theta) - target
             df = 2.0 + 2.0 * np.cos(2.0 * theta)
@@ -75,6 +84,7 @@ class ProjectionTransformer:
     b: float = 1.0
     lon_0: float = 0.0
     lat_0: float = 0.0
+    x_0: float = 0.0  # false easting [same units as a]
     y_0: float = 0.0  # false northing [same units as a]
     lat_ts: float = 0.0  # latitude of true scale (cylindrical kinds)
     to_meter: float = 1.0
@@ -140,8 +150,12 @@ class ProjectionTransformer:
             out_y = (yy * self.a + self.y_0) / self.to_meter
         elif self.kind in _AZIMUTHAL_KINDS:
             out_x, out_y = self._forward_azimuthal(lam, phi)
+            out_x = out_x + self.x_0 / self.to_meter
+            out_y = out_y + self.y_0 / self.to_meter
         elif self.kind in _CYLINDRICAL_KINDS:
             out_x, out_y = self._forward_cylindrical(lam, phi)
+            out_x = out_x + self.x_0 / self.to_meter
+            out_y = out_y + self.y_0 / self.to_meter
         else:
             raise ProjStringError(f'Unknown projection kind {self.kind!r}')
 
@@ -180,7 +194,9 @@ class ProjectionTransformer:
         cos_ts = math.cos(math.radians(self.lat_ts))
         with np.errstate(invalid='ignore', divide='ignore'):
             if self.kind == 'eqc':
-                return a * lam * cos_ts, a * phi
+                return a * lam * cos_ts, a * (
+                    phi - math.radians(self.lat_0)
+                )
             if self.kind == 'merc':
                 y = np.where(
                     np.abs(phi) < np.pi / 2,
@@ -212,10 +228,12 @@ class ProjectionTransformer:
         if self.kind == 'ortho':
             return self._inverse_ortho(x, y)
         if self.kind in _CYLINDRICAL_KINDS:
-            return self._inverse_cylindrical(x, y)
+            return self._inverse_cylindrical(
+                x - self.x_0 / self.to_meter, y - self.y_0 / self.to_meter
+            )
 
-        rho_x = x * self.to_meter / self.a
-        rho_y = y * self.to_meter / self.a
+        rho_x = (x - self.x_0 / self.to_meter) * self.to_meter / self.a
+        rho_y = (y - self.y_0 / self.to_meter) * self.to_meter / self.a
         rho = np.hypot(rho_x, rho_y)
         phi0 = math.radians(self.lat_0)
 
@@ -265,7 +283,8 @@ class ProjectionTransformer:
         cos_ts = math.cos(math.radians(self.lat_ts))
         with np.errstate(invalid='ignore', divide='ignore'):
             if self.kind == 'eqc':
-                lam, phi = xn / cos_ts, yn
+                lam = xn / cos_ts
+                phi = yn + math.radians(self.lat_0)
             elif self.kind == 'merc':
                 lam = xn / cos_ts
                 phi = 2.0 * np.arctan(np.exp(yn / cos_ts)) - np.pi / 2.0
@@ -407,6 +426,7 @@ def transformer_from_proj_string(projection: str) -> ProjectionTransformer:
         b=b,
         lon_0=fget('lon_0', 0.0),
         lat_0=fget('lat_0', 0.0),
+        x_0=fget('x_0', 0.0),
         y_0=fget('y_0', 0.0),
         lat_ts=fget('lat_ts', 0.0),
         to_meter=fget('to_meter', 1.0),

@@ -45,7 +45,22 @@ def initialize_distributed(
         pid = os.environ.get('JAX_PROCESS_ID')
         process_id = int(pid) if pid is not None else None
     if num_processes in (None, 1) and coordinator_address is None:
-        return  # single-process
+        # No explicit configuration: initialise with auto-detection when
+        # the environment looks like a multi-host accelerator deployment
+        # (Cloud TPU pod metadata etc.); otherwise stay single-process.
+        pod_markers = (
+            'TPU_WORKER_HOSTNAMES', 'TPU_WORKER_ID', 'CLOUD_TPU_TASK_ID',
+            'MEGASCALE_COORDINATOR_ADDRESS',
+        )
+        if any(os.environ.get(k) for k in pod_markers):
+            try:
+                jax.distributed.initialize()
+            except (ValueError, RuntimeError):
+                # Markers present but no resolvable cluster config (e.g.
+                # a single-host TPU with partial pod metadata): stay
+                # single-process
+                pass
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -143,11 +143,12 @@ def _batched_pipeline_inputs(body, ets: np.ndarray):
 
     engine = body._engine
     radii = np.asarray(body.radii, dtype=np.float64)
-    r_eq = float(radii[0])
-    x0, y0, r0, rotation_deg = (float(v) for v in body.get_disc_params())
+    disc = np.asarray(body.get_disc_params(), dtype=np.float64)
 
-    def per_time(et):
-        scene = engine._scene_constants_impl(et, jnp.asarray(radii))
+    def per_time(et, disc, radii):
+        x0, y0, r0, rotation_deg = disc
+        r_eq = radii[0]
+        scene = engine._scene_constants_impl(et, radii)
         tau0 = scene['subpoint_et']
         target_lt = scene['target_lt']
 
@@ -194,7 +195,7 @@ def _batched_pipeline_inputs(body, ets: np.ndarray):
         km_per_arcsec = 2.0 * r_eq / diameter_as
 
         # North pole angle (Body.north_pole_angle equivalent, in-graph)
-        np_targvec = jnp.array([0.0, 0.0, float(radii[2])])
+        np_targvec = jnp.array([0.0, 0.0, 1.0]) * radii[2]
         np_obsvec = engine._targvec2obsvec_core(np_targvec, scene)
         np_x, np_y = obsvec2angular(
             np_obsvec / jnp.linalg.norm(np_obsvec)
@@ -202,18 +203,22 @@ def _batched_pipeline_inputs(body, ets: np.ndarray):
         t_x, t_y = obsvec2angular(t_norm)
         theta = -jnp.arctan2(t_x - np_x, np_y - t_y)
 
-        # angular->km and xy->angular affines (body_xy equivalents)
+        # angular->km and xy->angular affines (body_xy equivalents).
+        # NOTE the rotation convention: SpiceBase._rotation_matrix_radians
+        # is [[cos, sin], [-sin, cos]] (SPICE 'rotate'), NOT the usual
+        # counterclockwise matrix
         c_t = jnp.cos(theta)
         s_t = jnp.sin(theta)
-        rot2d = jnp.array([[c_t, -s_t], [s_t, c_t]])
-        km2angular = rot2d / km_per_arcsec
-        angular2km = rot2d.T * km_per_arcsec
+        km2angular = jnp.array(
+            [[c_t, s_t], [-s_t, c_t]]
+        ) / km_per_arcsec
+        angular2km = km2angular.T * (km_per_arcsec * km_per_arcsec)
 
         plate_scale = diameter_as / (2.0 * r0)
         rot_rad = -jnp.deg2rad(rotation_deg)
         c_r = jnp.cos(rot_rad)
         s_r = jnp.sin(rot_rad)
-        m2 = plate_scale * jnp.array([[c_r, -s_r], [s_r, c_r]])
+        m2 = plate_scale * jnp.array([[c_r, s_r], [-s_r, c_r]])
         offset = -m2 @ jnp.array([x0, y0])
         xy2angular = jnp.concatenate(
             [
@@ -222,7 +227,6 @@ def _batched_pipeline_inputs(body, ets: np.ndarray):
             ],
             axis=0,
         )
-        del km2angular
 
         anchors = dict(
             et=et,
@@ -251,10 +255,12 @@ def _batched_pipeline_inputs(body, ets: np.ndarray):
 
     fn = getattr(engine, '_batched_inputs_jit', None)
     if fn is None:
-        fn = jax.jit(jax.vmap(per_time))
+        fn = jax.jit(jax.vmap(per_time, in_axes=(0, None, None)))
         engine._batched_inputs_jit = fn
     with _host_device():
-        anchors, xy2angular = jax.device_get(fn(jnp.asarray(ets)))
+        anchors, xy2angular = jax.device_get(
+            fn(jnp.asarray(ets), jnp.asarray(disc), jnp.asarray(radii))
+        )
     return anchors, xy2angular
 
 

@@ -168,3 +168,32 @@ class TestMultihost:
         out = backplane_time_series(body, times, names=['EMISSION'], mesh=mesh)
         assert out['EMISSION'].shape == (8, 8, 8)
         assert np.isfinite(out['EMISSION']).any()
+
+
+class TestTimeSeriesDiscChange:
+    def test_disc_params_not_baked_into_cache(self):
+        """Regression: the vmapped anchors program must not bake disc
+        parameters (it is cached on the shared engine)."""
+        import numpy as np
+
+        from planetmapper_tpu import BodyXY
+        from planetmapper_tpu.parallel import backplane_time_series
+
+        body = BodyXY('Jupiter', utc='2005-01-01T00:00:00', nx=12, ny=12)
+        body.set_disc_params(6, 6, 5, 0.0)
+        times = [body.et, body.et + 60.0]
+        backplane_time_series(body, times, names=['EMISSION'])
+        body.set_disc_params(5.0, 5.0, 4.0, 20.0)
+        out = backplane_time_series(body, times, names=['EMISSION'])
+        ref = body.generate_backplanes_fused()['EMISSION']
+        # Stale baked-in disc params would produce a different disc mask
+        assert np.array_equal(
+            np.isnan(out['EMISSION'][0]), np.isnan(ref)
+        )
+        both = np.isfinite(ref)
+        # Extreme-grazing edge pixels amplify ~1e-15 anchor differences,
+        # so compare the well-conditioned interior
+        interior = both & (ref < 85.0)
+        np.testing.assert_allclose(
+            out['EMISSION'][0][interior], ref[interior], atol=1e-4
+        )

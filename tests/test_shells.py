@@ -557,8 +557,50 @@ class TestProjections:
         assert t.kind == 'moll'
         assert t.west_positive
         assert t.a == pytest.approx(71492000)
-        with pytest.raises(NotImplementedError):
-            transformer_from_proj_string('+proj=bonne +a=1 +type=crs')
+        try:
+            import pyproj  # noqa: F401
+
+            has_pyproj = True
+        except ImportError:
+            has_pyproj = False
+        if has_pyproj:
+            # unknown names fall back to pyproj when it is available
+            t2 = transformer_from_proj_string('+proj=bonne +a=1 +type=crs')
+            assert t2 is not None
+        else:
+            with pytest.raises(NotImplementedError):
+                transformer_from_proj_string('+proj=bonne +a=1 +type=crs')
+
+
+
+    def test_mollweide_near_pole(self):
+        from planetmapper_tpu.ops import projections as P
+
+        t = P.ProjectionTransformer(kind='moll', a=1.0)
+        lat = np.array([89.9, 89.99, 89.999, -89.99])
+        x, y = t.transform(np.zeros_like(lat), lat)
+        lon2, lat2 = t.transform(x, y, direction='INVERSE')
+        assert np.max(np.abs(lat2 - lat)) < 1e-6
+        # residual of the defining equation must be ~0
+        import math
+        theta = np.arcsin(np.clip(y / math.sqrt(2), -1, 1))
+        resid = 2 * theta + np.sin(2 * theta) - np.pi * np.sin(
+            np.deg2rad(lat)
+        )
+        assert np.max(np.abs(resid)) < 1e-9
+
+    def test_false_easting_northing_and_eqc_lat0(self):
+        from planetmapper_tpu.ops import projections as P
+
+        t = P.ProjectionTransformer(
+            kind='eqc', a=1.0, lat_0=10.0, x_0=0.25, y_0=0.5
+        )
+        x, y = t.transform(0.0, 10.0)
+        assert x == pytest.approx(0.25)
+        assert y == pytest.approx(0.5)
+        lon2, lat2 = t.transform(x, y, direction='INVERSE')
+        assert lon2 == pytest.approx(0.0, abs=1e-12)
+        assert lat2 == pytest.approx(10.0, abs=1e-12)
 
     def test_generate_map_coordinates_with_proj_string(self, observation):
         import math
@@ -585,3 +627,49 @@ class TestProjections:
         )
         assert emission.shape == lons.shape
         assert np.isfinite(emission).any()
+
+
+class TestDeviceInterp:
+    """Device map-interpolation kernels vs scipy ground truth."""
+
+    def test_out_of_grid_clamps_like_scipy(self):
+        import scipy.interpolate
+
+        from planetmapper_tpu.ops import interp_device
+
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(20, 24))
+        x = rng.uniform(-5, 28, 400).reshape(20, 20)
+        y = rng.uniform(-5, 24, 400).reshape(20, 20)
+        sp = scipy.interpolate.RectBivariateSpline(
+            np.arange(20), np.arange(24), img, kx=3, ky=3, s=0
+        )
+        ref = sp.ev(y.ravel(), x.ravel()).reshape(x.shape)
+        out = interp_device.spline_interpolation_device(
+            img, x, y, interpolation=3, warn_nan=False,
+            propagate_nan=False, spline_smoothing=0,
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_smoothing_cube_per_frame_knots(self):
+        import scipy.interpolate
+
+        from planetmapper_tpu.ops import interp_device
+
+        rng = np.random.default_rng(4)
+        cube = rng.normal(size=(3, 20, 24))
+        cube[1] *= 5  # different scale -> different adaptive FITPACK knots
+        x = rng.uniform(0, 23, 100).reshape(10, 10)
+        y = rng.uniform(0, 19, 100).reshape(10, 10)
+        out = interp_device.spline_interpolation_device(
+            cube, x, y, interpolation=3, warn_nan=False,
+            propagate_nan=False, spline_smoothing=10.0,
+        )
+        for i in range(3):
+            sp = scipy.interpolate.RectBivariateSpline(
+                np.arange(20), np.arange(24), cube[i], kx=3, ky=3, s=10.0
+            )
+            ref = sp.ev(y.ravel(), x.ravel()).reshape(x.shape)
+            np.testing.assert_allclose(
+                out[i], ref, atol=2e-5 + 1e-5 * np.abs(ref).max()
+            )
