@@ -641,11 +641,6 @@ def _mixed_impl_fn(
         # illumination/state sections evaluate at dtau_4 = f(sigma) while
         # the intercept itself used rot(dtau_3)
         dtau = (sp_dist - dist) * (1.0 / CLIGHT)
-        rot4 = (
-            rot0
-            + rot1 * dtau[..., None, None]
-            + rot2h * (dtau * dtau)[..., None, None]
-        )
 
         out: dict[str, Any] = {}
 
@@ -704,65 +699,95 @@ def _mixed_impl_fn(
         out['ANGULAR-X'] = km_x * inv_kpa
         out['ANGULAR-Y'] = km_y * inv_kpa
 
-        # ------- illumination ---------------------------------------------
-        bf2j = jnp.swapaxes(rot4, -1, -2)
-        point_j = _matvec(bf2j, spoint)
-        srfvec_j = targ_rel0 + targ_vel0 * dtau[..., None] + point_j
-        inv_dist = fm.recip64(dist)
-        rhat = srfvec_j * inv_dist[..., None]  # unit obs->surface (f64)
-        if have_sun:
-            point_ssb = (
-                anchors['targ_pos0'] + targ_vel0 * dtau[..., None] + point_j
-            )
-            # f32 ample: a ~1e-4 s epoch error moves the sun direction
-            # by ~3e-12 rad
-            sun_off32 = (anchors['sun_pos0'] - point_ssb).astype(f32)
-            lt_s = jnp.sqrt(fm.dot3(sun_off32, sun_off32)).astype(
-                jnp.float64
-            ) * (1.0 / CLIGHT)
-            sun_dtau = (tau0 - anchors['sun_epoch0']) + dtau - lt_s
-            sun_pos = anchors['sun_pos0'] + anchors['sun_vel0'] * (
-                sun_dtau[..., None]
-            )
-            sun_dir = sun_pos - point_ssb
-            u_sun = fm.normalize3_64(sun_dir)
-        else:
-            u_sun = jnp.full_like(spoint, jnp.nan)
-        n_bf = spoint * (inv_radii * inv_radii)
-        n_bf = fm.normalize3_64(n_bf)
-        n_j = _matvec(bf2j, n_bf)  # unit surface normal, J2000 (f64)
-        u_obs = -rhat
-
-        # angle outputs: stable half-angle form in f32 on f64 unit vectors
-        us32 = u_sun.astype(f32)
-        uo32 = u_obs.astype(f32)
-        nj32 = n_j.astype(f32)
-        phase = geom.vector_separation(us32, uo32).astype(jnp.float64) * (
-            1.0 / DEG
+        # ------- illumination (f32 direction algebra) ----------------------
+        # Direction vectors tolerate f32 throughout: component rounding is
+        # *relative* (~6e-8), so even the ~1e9 km magnitudes perturb the
+        # resulting directions by only ~6e-8 rad (~4e-6 deg) per operation -
+        # an order of magnitude inside the 5e-5 deg contract (validated by
+        # tests/test_pipeline.py). Only AZIMUTH is ill-conditioned (where
+        # sin(incidence) or sin(emission) -> 0); those pixels get an exact
+        # f64 repair pass below.
+        dtau32 = dtau.astype(f32)
+        rot2_32 = rot2h_32 + rot2h_32
+        rot4_32 = (
+            rot0_32
+            + rot1_32 * dtau32[..., None, None]
+            + rot2h_32 * (dtau32 * dtau32)[..., None, None]
         )
-        incidence = geom.vector_separation(nj32, us32).astype(
+        bf2j32 = jnp.swapaxes(rot4_32, -1, -2)
+        sp32 = spoint.astype(f32)
+        point_j32 = _matvec(bf2j32, sp32)
+        targ_rel0_32 = targ_rel0.astype(f32)
+        srfvec32 = targ_rel0_32 + v32 * dtau32[..., None] + point_j32
+        u_obs = -srfvec32 * lax.rsqrt(fm.dot3(srfvec32, srfvec32))[
+            ..., None
+        ]
+        if have_sun:
+            point_ssb32 = (
+                anchors['targ_pos0'].astype(f32)
+                + v32 * dtau32[..., None]
+                + point_j32
+            )
+            # f32 ample for the sun epoch: a ~1e-4 s epoch error moves the
+            # sun direction by ~3e-12 rad
+            sun_off32 = anchors['sun_pos0'].astype(f32) - point_ssb32
+            lt_s32 = jnp.sqrt(fm.dot3(sun_off32, sun_off32)) * f32(
+                1.0 / CLIGHT
+            )
+            sun_dtau32 = (
+                (tau0 - anchors['sun_epoch0']).astype(f32) + dtau32 - lt_s32
+            )
+            sun_pos32 = anchors['sun_pos0'].astype(f32) + anchors[
+                'sun_vel0'
+            ].astype(f32) * sun_dtau32[..., None]
+            sun_dir32 = sun_pos32 - point_ssb32
+            u_sun = sun_dir32 * lax.rsqrt(
+                fm.dot3(sun_dir32, sun_dir32)
+            )[..., None]
+        else:
+            u_sun = jnp.full_like(sp32, jnp.nan)
+        n_bf32 = sp32 * (inv_radii * inv_radii).astype(f32)
+        n_bf32 = n_bf32 * lax.rsqrt(fm.dot3(n_bf32, n_bf32))[..., None]
+        n_j = _matvec(bf2j32, n_bf32)  # unit surface normal, J2000 (f32)
+
+        # angle outputs: stable half-angle form (f32)
+        phase = geom.vector_separation(u_sun, u_obs).astype(
             jnp.float64
         ) * (1.0 / DEG)
-        emission = geom.vector_separation(nj32, uo32).astype(
+        incidence = geom.vector_separation(n_j, u_sun).astype(
+            jnp.float64
+        ) * (1.0 / DEG)
+        emission = geom.vector_separation(n_j, u_obs).astype(
             jnp.float64
         ) * (1.0 / DEG)
         out['PHASE'] = phase
         out['INCIDENCE'] = incidence
         out['EMISSION'] = emission
 
-        # azimuth needs f64 cosines: its formula amplifies input error near
-        # the sub-solar/sub-observer points (sin i, sin e -> 0)
-        cp = fm.dot3(u_sun, u_obs)
-        ci = fm.dot3(n_j, u_sun)
-        ce = fm.dot3(n_j, u_obs)
-        den2 = (1.0 - ce * ce) * (1.0 - ci * ci)
-        den = fm.sqrt64(jnp.maximum(den2, 0.0))
-        # den clamp keeps the recip64 f32 seed in range; den below it means
-        # exactly-degenerate geometry and the huge arg clips to +-1 anyway
-        arg = (cp - ce * ci) * fm.recip64(jnp.maximum(den, 1e-30))
-        azimuth = (
-            jnp.pi - jnp.arccos(jnp.clip(arg, -1.0, 1.0))  # [f64 T6]
-        ) * (1.0 / DEG)
+        # Azimuth: dihedral angle between the tangent-plane projections of
+        # the sun and observer directions. The atan2 form is well
+        # conditioned in the angle itself (unlike arccos near 0/180), so
+        # f32 suffices except where a projection is short (sin i or
+        # sin e -> 0, where the f32 projections lose relative accuracy as
+        # 1/sin); those pixels are recomputed exactly in f64.
+        a_p = u_sun - n_j * fm.dot3(n_j, u_sun)[..., None]
+        b_p = u_obs - n_j * fm.dot3(n_j, u_obs)[..., None]
+        cr_p = jnp.cross(a_p, b_p)
+        saz = jnp.sqrt(fm.dot3(cr_p, cr_p))
+        caz = fm.dot3(a_p, b_p)
+        azimuth32 = (
+            jnp.float32(jnp.pi) - jnp.arctan2(saz, caz)
+        ) * f32(1.0 / DEG)
+        if have_sun:
+            si2 = fm.dot3(a_p, a_p)  # sin^2(incidence)
+            se2 = fm.dot3(b_p, b_p)  # sin^2(emission)
+            need_fix = found & ((si2 < f32(0.0225)) | (se2 < f32(0.0225)))
+            azimuth = _azimuth_repair_f64(
+                azimuth32, need_fix, dtau, spoint, anchors, targ_rel0,
+                targ_vel0, inv_radii, tau0,
+            )
+        else:
+            azimuth = azimuth32.astype(jnp.float64)
         out['AZIMUTH'] = azimuth
 
         # ------- local solar time (from the f64 longitude) ----------------
@@ -783,18 +808,24 @@ def _mixed_impl_fn(
         # ------- state: distance / radial velocity / doppler ---------------
         dist_surface = jnp.where(found, dist, jnp.nan)
         out['DISTANCE'] = dist_surface
-        rot_dot = rot1 + anchors['rot2'] * dtau[..., None, None]
-        bf2j_dot = jnp.swapaxes(rot_dot, -1, -2)
-        p_vel = targ_vel0 + _matvec(bf2j_dot, spoint)
-        # all mul/add + one Newton reciprocal: keep f64 (sub-mm/s accuracy)
-        obs_vel = anchors['obs_vel']
-        rv_t = fm.dot3(rhat, p_vel)
-        rv_o = fm.dot3(rhat, jnp.broadcast_to(obs_vel, rhat.shape))
-        dltdt = (rv_t - rv_o) * fm.recip64(CLIGHT + rv_t)
-        vel = p_vel * (1.0 - dltdt)[..., None] - obs_vel
-        radial_velocity = jnp.where(found, fm.dot3(rhat, vel), jnp.nan)
+        # f32 velocity algebra: the few-mm/s rounding (6e-8 of ~30 km/s
+        # magnitudes over ~10 operations) sits far below the 2e-5 km/s
+        # output contract; DISTANCE keeps the f64 intercept value
+        rot_dot32 = rot1_32 + rot2_32 * dtau32[..., None, None]
+        bf2j_dot32 = jnp.swapaxes(rot_dot32, -1, -2)
+        p_vel32 = v32 + _matvec(bf2j_dot32, sp32)
+        obs_vel32 = anchors['obs_vel'].astype(f32)
+        rhat32 = -u_obs
+        rv_t = fm.dot3(rhat32, p_vel32)
+        rv_o = fm.dot3(rhat32, jnp.broadcast_to(obs_vel32, rhat32.shape))
+        dltdt = (rv_t - rv_o) / (f32(CLIGHT) + rv_t)
+        vel32 = p_vel32 * (1.0 - dltdt)[..., None] - obs_vel32
+        rv32 = fm.dot3(rhat32, vel32)
+        radial_velocity = jnp.where(found, rv32, jnp.nan).astype(
+            jnp.float64
+        )
         out['RADIAL-VELOCITY'] = radial_velocity
-        beta = radial_velocity / CLIGHT
+        beta = rv32 * f32(1.0 / CLIGHT)
         out['DOPPLER'] = jnp.sqrt((1.0 + beta) / (1.0 - beta))
 
         # ------- limb coordinates (f64 mults; LIMB-DISTANCE is cm-level) --
@@ -869,22 +900,27 @@ def _mixed_impl_fn(
         r1_r = num_r * fm.recip64(2.0 * sp_dist)
         dist_offset_r = num_r * fm.recip64(2.0 * sp_dist + r1_r)
         dtau_r = -dist_offset_r * (1.0 / CLIGHT)
-        rot_r = (
-            rot0
-            + rot1 * dtau_r[..., None, None]
-            + rot2h * (dtau_r * dtau_r)[..., None, None]
+        # f32 from here: ``off_r`` was formed in f64 (the 1e9 - 1e9 -> 1e5
+        # km cancellation demands it) but the rotation retargeting and
+        # geodetic conversion of the ~1e5 km recentred values round at
+        # ~0.01 km - well under the 0.11 km RING-LON angle budget
+        dtau_r32 = dtau_r.astype(f32)
+        off_r32 = off_r.astype(f32)
+        rot_r32 = (
+            rot0_32
+            + rot1_32 * dtau_r32[..., None, None]
+            + rot2h_32 * (dtau_r32 * dtau_r32)[..., None, None]
         )
-        ring_targvec = anchors['subpoint_targvec'] + _matvec(rot_r, off_r)
-        rx = ring_targvec[..., 0]
-        ry = ring_targvec[..., 1]
-        rz = ring_targvec[..., 2]
-        ring_lon_e = jnp.arctan2(ry, rx)  # [f64 T9]
+        ring_targvec = anchors['subpoint_targvec'].astype(f32) + _matvec(
+            rot_r32, off_r32
+        )
+        rx32 = ring_targvec[..., 0]
+        ry32 = ring_targvec[..., 1]
+        rz32 = ring_targvec[..., 2]
+        ring_lon_e = jnp.arctan2(ry32, rx32).astype(jnp.float64)
         # Bowring (trig-free, geocentric init + 2 steps) for the exterior
         # ring points, in f32: the RING-RADIUS tolerance is relative
         # (rtol 1e-5 of ~1e5+ km values), far above f32 rounding
-        rx32 = rx.astype(f32)
-        ry32 = ry.astype(f32)
-        rz32 = rz.astype(f32)
         rrho = jnp.sqrt(rx32 * rx32 + ry32 * ry32)
         omf32 = omf.astype(f32)
         e2_32 = e2.astype(f32)
@@ -932,6 +968,74 @@ def _mixed_impl_fn(
         return out
 
     return impl
+
+
+def _azimuth_repair_f64(
+    az32, need, dtau, spoint, anchors, targ_rel0, targ_vel0, inv_radii,
+    tau0,
+):
+    """
+    Exact f64 azimuth for the ill-conditioned pixels of the f32 pipeline.
+
+    The f32 dihedral-projection azimuth loses relative accuracy where
+    sin(incidence) or sin(emission) is small. Grids (row bands in the
+    tiled pipeline) containing any such pixel recompute the azimuth with
+    the full f64 vector assembly and the reference arccos formula, blended
+    in with ``where``; bands away from the sub-solar/sub-observer caps
+    skip the recompute entirely via ``lax.cond``.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .ops import fastmath as fm
+
+    rot0 = anchors['rot0']
+    rot1 = anchors['rot1']
+    rot2h = 0.5 * anchors['rot2']
+
+    def az64_at(dtau_k, spoint_k):
+        rot = (
+            rot0
+            + rot1 * dtau_k[..., None, None]
+            + rot2h * (dtau_k * dtau_k)[..., None, None]
+        )
+        bf2j = jnp.swapaxes(rot, -1, -2)
+        point_j = _matvec(bf2j, spoint_k)
+        srfvec = targ_rel0 + targ_vel0 * dtau_k[..., None] + point_j
+        u_obs = -fm.normalize3_64(srfvec)
+        point_ssb = (
+            anchors['targ_pos0'] + targ_vel0 * dtau_k[..., None] + point_j
+        )
+        sun_off32 = (anchors['sun_pos0'] - point_ssb).astype(jnp.float32)
+        lt_s = jnp.sqrt(fm.dot3(sun_off32, sun_off32)).astype(
+            jnp.float64
+        ) * (1.0 / CLIGHT)
+        sun_dtau = (tau0 - anchors['sun_epoch0']) + dtau_k - lt_s
+        sun_pos = anchors['sun_pos0'] + anchors['sun_vel0'] * (
+            sun_dtau[..., None]
+        )
+        u_sun = fm.normalize3_64(sun_pos - point_ssb)
+        n_bf = fm.normalize3_64(spoint_k * (inv_radii * inv_radii))
+        n_j = _matvec(bf2j, n_bf)
+        cp = fm.dot3(u_sun, u_obs)
+        ci = fm.dot3(n_j, u_sun)
+        ce = fm.dot3(n_j, u_obs)
+        den2 = (1.0 - ce * ce) * (1.0 - ci * ci)
+        den = fm.sqrt64(jnp.maximum(den2, 0.0))
+        arg = (cp - ce * ci) * fm.recip64(jnp.maximum(den, 1e-30))
+        return (
+            jnp.pi - jnp.arccos(jnp.clip(arg, -1.0, 1.0))
+        ) * (1.0 / DEG)
+
+    az = az32.astype(jnp.float64)
+
+    def repair(_):
+        return jnp.where(need, az64_at(dtau, spoint), az)
+
+    # The grid unit here is one row band (see get_fused_pipeline), so only
+    # the handful of bands crossing the sub-solar/sub-observer caps pay
+    # the f64 recompute; the rest skip it entirely via the conditional.
+    return lax.cond(jnp.any(need), repair, lambda _: az, operand=None)
 
 
 def _mod360(x):
