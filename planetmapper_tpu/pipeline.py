@@ -648,37 +648,54 @@ def _mixed_impl_fn(
         px = spoint[..., 0]
         py = spoint[..., 1]
         pz = spoint[..., 2]
-        rho = fm.hypot64(px, py)
-        lon_e = jnp.arctan2(py, px)  # [f64 T1]
+        # Longitude stays f64 [T1]: LOCAL-SOLAR-TIME's 1-second
+        # quantization boundaries resolve 1/240 deg exactly, so boundary
+        # pixels need the longitude far below f32 rounding.
+        lon_e = jnp.arctan2(py, px)
         e2 = flattening * (2.0 - flattening)
         ep2 = e2 / (1.0 - e2)
         omf = 1.0 - flattening
-        # reduced latitude from the closed-form surface latitude, trig-free:
-        # tan(beta) = z / (rho (1-f)); one Bowring step absorbs the tiny
-        # off-spheroid offsets of triaxial bodies
-        w = rho * omf
-        rb = fm.rsqrt64(pz * pz + w * w)
-        sin_b = pz * rb
-        cos_b = w * rb
-        lat_gd = jnp.arctan2(  # [f64 T2]
-            pz + ep2 * (re * omf) * sin_b * sin_b * sin_b,
-            rho - e2 * re * cos_b * cos_b * cos_b,
-        )
+        # Latitudes in f32 on the f64 intercept point: ~2e-7 relative
+        # rounding of the atan2 arguments moves the angle by ~1e-5 deg,
+        # 4x inside the 5e-5 deg contract (and an f64 atan2 costs ~13x an
+        # f32 one on TPU). Reduced latitude trig-free (tan(beta) =
+        # z / (rho (1-f))); one Bowring step absorbs the tiny off-spheroid
+        # offsets of triaxial bodies.
+        px32 = px.astype(f32)
+        py32 = py.astype(f32)
+        pz32 = pz.astype(f32)
+        rho32 = jnp.sqrt(px32 * px32 + py32 * py32)
+        omf_l = omf.astype(f32)
+        w32 = rho32 * omf_l
+        rb32 = lax.rsqrt(pz32 * pz32 + w32 * w32)
+        sin_b = pz32 * rb32
+        cos_b = w32 * rb32
+        lat_gd = jnp.arctan2(
+            pz32 + ep2.astype(f32) * (re.astype(f32) * omf_l)
+            * sin_b * sin_b * sin_b,
+            rho32 - e2.astype(f32) * re.astype(f32)
+            * cos_b * cos_b * cos_b,
+        ).astype(jnp.float64)
         lon_graphic = _mod360(lon_sign * lon_e * (1.0 / DEG))
         out['LON-GRAPHIC'] = jnp.where(found, lon_graphic, jnp.nan)
         out['LAT-GRAPHIC'] = jnp.where(found, lat_gd * (1.0 / DEG), jnp.nan)
-        lat_c = jnp.arctan2(pz, rho)  # [f64 T3]
+        lat_c = jnp.arctan2(pz32, rho32).astype(jnp.float64)
         out['LON-CENTRIC'] = jnp.where(
             found, _mod360(lon_e * (1.0 / DEG)), jnp.nan
         )
         out['LAT-CENTRIC'] = jnp.where(found, lat_c * (1.0 / DEG), jnp.nan)
 
-        # ------- RA/Dec of the rays (f64: values can sit near 0 deg) ------
-        ra = jnp.arctan2(d_j[..., 1], d_j[..., 0])  # [f64 T4]
+        # ------- RA/Dec of the rays (f32 atan2: one ulp at ra ~ 2 pi is
+        # 2.8e-5 deg, inside the contract; outputs are written f32 anyway)
+        dj32 = d_j.astype(f32)
+        ra = jnp.arctan2(dj32[..., 1], dj32[..., 0]).astype(jnp.float64)
         ra = jnp.where(ra < 0.0, ra + 2.0 * jnp.pi, ra)
         dec = jnp.arctan2(
-            d_j[..., 2], fm.hypot64(d_j[..., 0], d_j[..., 1])
-        )  # [f64 T5]
+            dj32[..., 2],
+            jnp.sqrt(
+                dj32[..., 0] * dj32[..., 0] + dj32[..., 1] * dj32[..., 1]
+            ),
+        ).astype(jnp.float64)
         out['RA'] = ra * (1.0 / DEG)
         out['DEC'] = dec * (1.0 / DEG)
 
@@ -858,19 +875,23 @@ def _mixed_impl_fn(
         nt_scaled = near_targvec * inv_radii
         scale_l = fm.rsqrt64(fm.dot3(nt_scaled, nt_scaled))
         limb_surface = near_targvec * scale_l[..., None]
-        lx = limb_surface[..., 0]
-        ly = limb_surface[..., 1]
-        lz = limb_surface[..., 2]
-        lrho = fm.hypot64(lx, ly)
-        limb_lon_e = jnp.arctan2(ly, lx)  # [f64 T7]
-        lw = lrho * omf
-        lrb = fm.rsqrt64(lz * lz + lw * lw)
+        # geodetic conversion in f32 on the f64 surface point (same error
+        # budget as the LAT-GRAPHIC demotion above: ~1e-5 deg); the
+        # LIMB-DISTANCE subtraction below keeps the cm-level f64 chain
+        lx = limb_surface[..., 0].astype(f32)
+        ly = limb_surface[..., 1].astype(f32)
+        lz = limb_surface[..., 2].astype(f32)
+        lrho = jnp.sqrt(lx * lx + ly * ly)
+        limb_lon_e = jnp.arctan2(ly, lx).astype(jnp.float64)
+        lw = lrho * omf_l
+        lrb = lax.rsqrt(lz * lz + lw * lw)
         lsb = lz * lrb
         lcb = lw * lrb
-        limb_lat = jnp.arctan2(  # [f64 T8]
-            lz + ep2 * (re * omf) * lsb * lsb * lsb,
-            lrho - e2 * re * lcb * lcb * lcb,
-        )
+        limb_lat = jnp.arctan2(
+            lz + ep2.astype(f32) * (re.astype(f32) * omf_l)
+            * lsb * lsb * lsb,
+            lrho - e2.astype(f32) * re.astype(f32) * lcb * lcb * lcb,
+        ).astype(jnp.float64)
         out['LIMB-LON-GRAPHIC'] = _mod360(lon_sign * limb_lon_e * (1.0 / DEG))
         out['LIMB-LAT-GRAPHIC'] = limb_lat * (1.0 / DEG)
         out['LIMB-DISTANCE'] = near_dist - fm.norm3_64(limb_surface)
