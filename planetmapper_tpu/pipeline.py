@@ -170,8 +170,15 @@ def _rot_dot_at(anchors, dtau):
 
 def _matvec(m, v):
     import jax.numpy as jnp
+    from jax import lax
 
-    return jnp.einsum('...ij,...j->...i', m, v)
+    # precision=HIGHEST: TPU's *default* dot precision computes f32
+    # contractions in bfloat16 (~4e-3 relative!), which silently corrupts
+    # the f32 rotation corrections; HIGHEST keeps true f32 (f64 inputs
+    # are unaffected either way)
+    return jnp.einsum(
+        '...ij,...j->...i', m, v, precision=lax.Precision.HIGHEST
+    )
 
 
 def rect_to_geodetic_surface(v, re, f, n_iter: int = 1):
@@ -601,14 +608,32 @@ def _mixed_impl_fn(
         dtau = dtau.astype(jnp.float64)
 
         # ------- f64 intercept via Newton-refined arithmetic --------------
-        rot = (
-            rot0
-            + rot1 * dtau[..., None, None]
-            + rot2h * (dtau * dtau)[..., None, None]
+        # Factored rotation: rot(dtau) @ (q - v dtau) expands exactly (for
+        # the quadratic rot model) into rot0 @ q  +  dtau (rot1@q - rot0@v)
+        # + dtau^2 (rot2h@q - rot1@v) - dtau^3 rot2h@v. The base term gets
+        # the constant-matrix f64 matvec; the correction terms are a few
+        # km (q) / ~4e-5 rad (d) and their *relative* f32 rounding leaves
+        # sub-mm / 1e-12 rad errors - so no per-pixel (3,3) f64 rotation
+        # build or varying-matrix f64 matvec is needed at all.
+        rv0 = rot0 @ targ_vel0  # constant 3-vectors (epoch-rate terms)
+        rv1 = rot1 @ targ_vel0
+        rv2h = rot2h @ targ_vel0
+        dtau32_i = dtau.astype(f32)
+        dt2_32 = dtau32_i * dtau32_i
+        q32j = q_j.astype(f32)
+        corr_q = (
+            dtau32_i[..., None]
+            * (_matvec(rot1_32, q32j) - rv0.astype(f32))
+            + dt2_32[..., None]
+            * (_matvec(rot2h_32, q32j) - rv1.astype(f32))
+            - (dt2_32 * dtau32_i)[..., None] * rv2h.astype(f32)
         )
-        q_t = q_j - targ_vel0 * dtau[..., None]
-        q_bf = _matvec(rot, q_t)
-        d_bf = _matvec(rot, d_j)
+        corr_d = (
+            dtau32_i[..., None] * _matvec(rot1_32, d32)
+            + dt2_32[..., None] * _matvec(rot2h_32, d32)
+        )
+        q_bf = _matvec(rot0, q_j) + corr_q.astype(jnp.float64)
+        d_bf = _matvec(rot0, d_j) + corr_d.astype(jnp.float64)
         u = q_bf * inv_radii
         v = d_bf * (re * inv_radii)
         qa = fm.dot3(v, v)
@@ -699,7 +724,9 @@ def _mixed_impl_fn(
         out['RA'] = ra * (1.0 / DEG)
         out['DEC'] = dec * (1.0 / DEG)
 
-        # ------- pixel / km / angular (f64 affine, cheap) ------------------
+        # ------- pixel / km / angular (f64 affine: the rotation mixes two
+        # ~1e5 km terms that cancel along the axes, so f32 would leave
+        # ~8e-3 km absolute errors exactly where KM-X/Y pass through 0) --
         out['PIXEL-X'] = xg
         out['PIXEL-Y'] = yg
         m2 = anchors['angular2km']
@@ -860,18 +887,27 @@ def _mixed_impl_fn(
         off = p_off + (o_t - anchors['subpoint_obsvec'])
         # |(-subpoint_rayvec) + off| - subpoint_distance, cancellation-free:
         # (2 A.off + |off|^2) / (|A + off| + |A|) with |A| = sp_dist
-        amo = fm.dot3(jnp.broadcast_to(-anchors['subpoint_rayvec'], off.shape),
-                      off)
-        num_l = 2.0 * amo + fm.dot3(off, off)
-        r1 = num_l * fm.recip64(2.0 * sp_dist)
-        dist_offset = num_l * fm.recip64(2.0 * sp_dist + r1)
-        dtau_l = -dist_offset * (1.0 / CLIGHT)
-        rot_l = (
-            rot0
-            + rot1 * dtau_l[..., None, None]
-            + rot2h * (dtau_l * dtau_l)[..., None, None]
+        # Light-time retiming (dtau_l) only rotates the ~1e5 km offset by
+        # ~ omega * dtau_l ~ 5 km, so the whole retiming chain and the
+        # rotation *correction* need ~1% relative accuracy for the 61 m
+        # limb lon/lat budget: f32 carries both. Only the constant-matrix
+        # rot0 base stays f64 (it positions the point itself).
+        off32 = off.astype(f32)
+        spr32 = (-anchors['subpoint_rayvec']).astype(f32)
+        amo32 = fm.dot3(jnp.broadcast_to(spr32, off32.shape), off32)
+        num_l32 = 2.0 * amo32 + fm.dot3(off32, off32)
+        spd32 = sp_dist.astype(f32)
+        r1_32 = num_l32 / (2.0 * spd32)
+        dtau_l32 = -(num_l32 / (2.0 * spd32 + r1_32)) * f32(1.0 / CLIGHT)
+        corr_l = (
+            dtau_l32[..., None] * _matvec(rot1_32, off32)
+            + (dtau_l32 * dtau_l32)[..., None] * _matvec(rot2h_32, off32)
         )
-        near_targvec = anchors['subpoint_targvec'] + _matvec(rot_l, off)
+        near_targvec = (
+            anchors['subpoint_targvec']
+            + _matvec(rot0, off)
+            + corr_l.astype(jnp.float64)
+        )
         nt_scaled = near_targvec * inv_radii
         scale_l = fm.rsqrt64(fm.dot3(nt_scaled, nt_scaled))
         limb_surface = near_targvec * scale_l[..., None]
@@ -914,19 +950,16 @@ def _mixed_impl_fn(
         # intercept relative to the subpoint (f64: the ~1e-16 relative
         # rounding of the big intermediate is ~1e-7 km, far below tolerance)
         off_r = s_r[..., None] * d_j - anchors['subpoint_obsvec']
-        amo_r = fm.dot3(
-            jnp.broadcast_to(-anchors['subpoint_rayvec'], off_r.shape), off_r
-        )
-        num_r = 2.0 * amo_r + fm.dot3(off_r, off_r)
-        r1_r = num_r * fm.recip64(2.0 * sp_dist)
-        dist_offset_r = num_r * fm.recip64(2.0 * sp_dist + r1_r)
-        dtau_r = -dist_offset_r * (1.0 / CLIGHT)
         # f32 from here: ``off_r`` was formed in f64 (the 1e9 - 1e9 -> 1e5
-        # km cancellation demands it) but the rotation retargeting and
-        # geodetic conversion of the ~1e5 km recentred values round at
-        # ~0.01 km - well under the 0.11 km RING-LON angle budget
-        dtau_r32 = dtau_r.astype(f32)
+        # km cancellation demands it) but the retiming chain, rotation
+        # retargeting and geodetic conversion of the ~1e5 km recentred
+        # values round at ~0.01 km - well under the 0.11 km RING-LON
+        # angle budget
         off_r32 = off_r.astype(f32)
+        amo_r = fm.dot3(jnp.broadcast_to(spr32, off_r32.shape), off_r32)
+        num_r = 2.0 * amo_r + fm.dot3(off_r32, off_r32)
+        r1_r = num_r / (2.0 * spd32)
+        dtau_r32 = -(num_r / (2.0 * spd32 + r1_r)) * f32(1.0 / CLIGHT)
         rot_r32 = (
             rot0_32
             + rot1_32 * dtau_r32[..., None, None]
@@ -1174,6 +1207,57 @@ def get_fused_pipeline(body, nx: int, ny: int):
         return {k: v[:ny, :nx] for k, v in out.items()}
 
     return sliced
+
+
+def compute_backplanes_batch(
+    body, xy2angulars, discs, *, as_numpy: bool = True
+) -> dict[str, Any]:
+    """
+    All default backplanes for N disc-parameter sets in ONE device
+    dispatch: ``out[name]`` has shape ``(N, ny, nx)``. The frames run
+    sequentially on device (keeping the row-band VMEM residency of the
+    single-frame pipeline) but share a single dispatch round trip, which
+    dominates per-call latency on remote/tunneled TPU transports. This is
+    the natural shape for disc-fit parameter sweeps and GUI scrubbing.
+
+    ``xy2angulars``: (N, 3, 3) pixel->angular affines (one per disc
+    parameter set, see :meth:`BodyXY._get_xy2angular_matrix`);
+    ``discs``: (N, 4) arrays of (x0, y0, r0, rotation).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    nx, ny = body.get_img_size()
+    if nx <= 0 or ny <= 0:
+        raise ValueError('nx and ny must be positive to generate backplanes')
+    anchors = body._stable_cache.get('pipeline anchors (device)')
+    if anchors is None:
+        anchors = jax.device_put(body._get_pipeline_anchors())
+        body._stable_cache['pipeline anchors (device)'] = anchors
+    fn = get_fused_pipeline(body, nx, ny)
+
+    cache_key = ('pipeline batch fn', nx, ny)
+    batch_fn = body._stable_cache.get(cache_key)
+    if batch_fn is None:
+        def run_batch(xy2a_b, disc_b, radii, anchors):
+            return lax.map(
+                lambda ab: fn(ab[0], ab[1], radii, anchors),
+                (xy2a_b, disc_b),
+            )
+
+        batch_fn = jax.jit(run_batch)
+        body._stable_cache[cache_key] = batch_fn
+
+    out = batch_fn(
+        jnp.asarray(xy2angulars, dtype=jnp.float64),
+        jnp.asarray(discs, dtype=jnp.float64),
+        np.asarray(body.radii, dtype=np.float64),
+        anchors,
+    )
+    if as_numpy:
+        return {k: np.asarray(v) for k, v in out.items()}
+    return dict(out)
 
 
 def compute_backplanes(body, *, as_numpy: bool = True) -> dict[str, Any]:

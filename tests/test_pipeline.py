@@ -75,6 +75,33 @@ class TestFusedPipeline:
         body.set_disc_params(5, 5, 3, 45.0)
         _compare(body)
 
+    def test_batch_matches_per_frame(self):
+        from planetmapper_tpu.pipeline import (
+            compute_backplanes,
+            compute_backplanes_batch,
+        )
+
+        body = BodyXY('Jupiter', utc='2005-01-01', nx=12, ny=12)
+        disc_sets = [
+            (6.0, 6.0, 5.0, 0.0),
+            (5.5, 6.2, 4.8, 12.0),
+            (7.0, 5.0, 3.5, 120.0),
+        ]
+        mats, discs, singles = [], [], []
+        for params in disc_sets:
+            body.set_disc_params(*params)
+            mats.append(body._get_xy2angular_matrix())
+            discs.append(params)
+            singles.append(compute_backplanes(body))
+        batched = compute_backplanes_batch(body, mats, discs)
+        assert set(batched.keys()) == set(singles[0].keys())
+        for name, arr in batched.items():
+            assert arr.shape == (len(disc_sets), 12, 12)
+            for i, single in enumerate(singles):
+                np.testing.assert_array_equal(
+                    arr[i], single[name], err_msg=f'{name}[{i}]'
+                )
+
     def test_disc_param_change_no_recompile(self):
         from planetmapper_tpu import pipeline
 
