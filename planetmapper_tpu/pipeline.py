@@ -181,6 +181,25 @@ def _matvec(m, v):
     )
 
 
+def _const_matvec(m, v):
+    """
+    (3,3) constant matrix times (..., 3) vectors as explicit FMA chains.
+    f64 ``dot_general`` lowers poorly on TPU (software-emulated wide
+    accumulation); spelled-out mul/adds let XLA fuse the emulation
+    elementwise instead.
+    """
+    import jax.numpy as jnp
+
+    return jnp.stack(
+        [
+            m[0, 0] * v[..., 0] + m[0, 1] * v[..., 1] + m[0, 2] * v[..., 2],
+            m[1, 0] * v[..., 0] + m[1, 1] * v[..., 1] + m[1, 2] * v[..., 2],
+            m[2, 0] * v[..., 0] + m[2, 1] * v[..., 1] + m[2, 2] * v[..., 2],
+        ],
+        axis=-1,
+    )
+
+
 def rect_to_geodetic_surface(v, re, f, n_iter: int = 1):
     """
     Geodetic conversion for points on (or very near) the spheroid surface.
@@ -567,7 +586,16 @@ def _mixed_impl_fn(
             + tp[..., None] * dd
         )  # ray closest-approach point relative to target centre (~1e5 km)
 
-        # ------- f32 fixed point for the light-time epoch offset ---------
+        # ------- factored rotation ingredients -----------------------------
+        # rot(dtau) @ (q - v dtau) expands exactly (for the quadratic rot
+        # model) into rot0 @ q  +  dtau (rot1@q - rot0@v) + dtau^2 (rot2h@q
+        # - rot1@v) - dtau^3 rot2h@v. The constant-matrix f64 base matvec
+        # is computed ONCE (explicit FMA chains: f64 dot_general lowers
+        # poorly on TPU); the dtau-scaled correction terms are a few km
+        # (q) / ~4e-5 rad (d), so their *relative* f32 rounding leaves
+        # sub-mm / 1e-12 rad errors - no per-pixel (3,3) rotation build or
+        # varying-matrix matvec is needed anywhere, including inside the
+        # fixed-point loop below.
         rot0_32 = rot0.astype(f32)
         rot1_32 = rot1.astype(f32)
         rot2h_32 = rot2h.astype(f32)
@@ -576,6 +604,29 @@ def _mixed_impl_fn(
         v32 = targ_vel0.astype(f32)
         inv_r32 = inv_radii.astype(f32)
         re32 = re.astype(f32)
+        q_bf0 = _const_matvec(rot0, q_j)  # f64, once
+        d_bf0 = _const_matvec(rot0, d_j)  # f64, once
+        r1q = _matvec(rot1_32, q32)  # f32 correction ingredients, once
+        r2q = _matvec(rot2h_32, q32)
+        r1d = _matvec(rot1_32, d32)
+        r2d = _matvec(rot2h_32, d32)
+        rv0_32 = (rot0 @ targ_vel0).astype(f32)  # epoch-rate constants
+        rv1_32 = (rot1 @ targ_vel0).astype(f32)
+        rv2h_32 = (rot2h @ targ_vel0).astype(f32)
+
+        def _corrs(dt32):
+            dt2 = dt32 * dt32
+            cq = (
+                dt32[..., None] * (r1q - rv0_32)
+                + dt2[..., None] * (r2q - rv1_32)
+                - (dt2 * dt32)[..., None] * rv2h_32
+            )
+            cd = dt32[..., None] * r1d + dt2[..., None] * r2d
+            return cq, cd
+
+        # ------- f32 fixed point for the light-time epoch offset ---------
+        q_b32 = q_bf0.astype(f32)
+        d_b32 = d_bf0.astype(f32)
         dtau_base = ((delta0 - tp) * (1.0 / CLIGHT)).astype(f32)
         sigma_nf32 = (sigma_nf - tp).astype(f32)
         dtau = dtau_base
@@ -584,16 +635,9 @@ def _mixed_impl_fn(
         # geometry amplifies the contraction factor (v/c -> v/(c cos e)),
         # so fewer iterations visibly under-converge there.
         for _ in range(3):
-            rot = (
-                rot0_32
-                + rot1_32 * dtau[..., None, None]
-                + rot2h_32 * (dtau * dtau)[..., None, None]
-            )
-            q_t = q32 - v32 * dtau[..., None]
-            q_bf = _matvec(rot, q_t)
-            d_bf = _matvec(rot, d32)
-            u = q_bf * inv_r32
-            v = d_bf * (re32 * inv_r32)
+            cq, cd = _corrs(dtau)
+            u = (q_b32 + cq) * inv_r32
+            v = (d_b32 + cd) * (re32 * inv_r32)
             qa = fm.dot3(v, v)
             qb = fm.dot3(u, v)
             qc = fm.dot3(u, u) - 1.0
@@ -608,32 +652,9 @@ def _mixed_impl_fn(
         dtau = dtau.astype(jnp.float64)
 
         # ------- f64 intercept via Newton-refined arithmetic --------------
-        # Factored rotation: rot(dtau) @ (q - v dtau) expands exactly (for
-        # the quadratic rot model) into rot0 @ q  +  dtau (rot1@q - rot0@v)
-        # + dtau^2 (rot2h@q - rot1@v) - dtau^3 rot2h@v. The base term gets
-        # the constant-matrix f64 matvec; the correction terms are a few
-        # km (q) / ~4e-5 rad (d) and their *relative* f32 rounding leaves
-        # sub-mm / 1e-12 rad errors - so no per-pixel (3,3) f64 rotation
-        # build or varying-matrix f64 matvec is needed at all.
-        rv0 = rot0 @ targ_vel0  # constant 3-vectors (epoch-rate terms)
-        rv1 = rot1 @ targ_vel0
-        rv2h = rot2h @ targ_vel0
-        dtau32_i = dtau.astype(f32)
-        dt2_32 = dtau32_i * dtau32_i
-        q32j = q_j.astype(f32)
-        corr_q = (
-            dtau32_i[..., None]
-            * (_matvec(rot1_32, q32j) - rv0.astype(f32))
-            + dt2_32[..., None]
-            * (_matvec(rot2h_32, q32j) - rv1.astype(f32))
-            - (dt2_32 * dtau32_i)[..., None] * rv2h.astype(f32)
-        )
-        corr_d = (
-            dtau32_i[..., None] * _matvec(rot1_32, d32)
-            + dt2_32[..., None] * _matvec(rot2h_32, d32)
-        )
-        q_bf = _matvec(rot0, q_j) + corr_q.astype(jnp.float64)
-        d_bf = _matvec(rot0, d_j) + corr_d.astype(jnp.float64)
+        corr_q, corr_d = _corrs(dtau.astype(f32))
+        q_bf = q_bf0 + corr_q.astype(jnp.float64)
+        d_bf = d_bf0 + corr_d.astype(jnp.float64)
         u = q_bf * inv_radii
         v = d_bf * (re * inv_radii)
         qa = fm.dot3(v, v)
@@ -905,7 +926,7 @@ def _mixed_impl_fn(
         )
         near_targvec = (
             anchors['subpoint_targvec']
-            + _matvec(rot0, off)
+            + _const_matvec(rot0, off)
             + corr_l.astype(jnp.float64)
         )
         nt_scaled = near_targvec * inv_radii
