@@ -672,6 +672,7 @@ class BodyXY(Body):
         spline_smoothing: float = 0,
         smooth_oversample_by: int = 5,
         smooth_max_oversampled_img_size: int = 10_000,
+        as_numpy: bool = True,
         **map_kwargs,
     ) -> np.ndarray:
         """
@@ -680,6 +681,12 @@ class BodyXY(Body):
         reference documentation for interpolation semantics: 'nearest',
         spline degrees 1-3 ('linear'/'quadratic'/'cubic'), and the
         monotonic PCHIP-based 'smooth' mode).
+
+        ``as_numpy=False`` returns the device array from the
+        device-evaluated interpolation modes without the device->host
+        copy, for pipelines that keep consuming the map on device
+        (ignored - numpy is returned - for the host-evaluated 'smooth'
+        mode and when device evaluation is disabled).
         """
         img = np.asarray(img)
         use_device = os.environ.get(
@@ -724,7 +731,7 @@ class BodyXY(Body):
                 from .ops import interp_device
 
                 return interp_device.nearest_interpolation_device(
-                    img, x_map, y_map
+                    img, x_map, y_map, as_numpy=as_numpy
                 )
             interp.nearest_interpolation(img, x_map, y_map, projected)
         elif isinstance(interpolation, (int, tuple)):
@@ -736,6 +743,7 @@ class BodyXY(Body):
                     interpolation=interpolation, warn_nan=warn_nan,
                     propagate_nan=propagate_nan,
                     spline_smoothing=spline_smoothing,
+                    as_numpy=as_numpy,
                 )
             interp.spline_interpolation(
                 img, x_map, y_map, projected,

@@ -109,6 +109,184 @@ def _bspline_basis(jnp, t, k, u):
     return jnp.stack(n, -1), i
 
 
+def _basis_onehot(jnp, lax, t, k: int, u):
+    """
+    Gather-free de Boor-Cox basis: the interval index comes from a
+    broadcast compare-count (== ``searchsorted(t, u, 'right') - 1``) and
+    the 2k knots around each sample from ONE one-hot matmul against a
+    (n_t, 2k) matrix of shifted knot vectors. TPU gathers scalarize to
+    ~100 Melem/s while compares and small matmuls stream at full
+    bandwidth - this is the whole reason the map-reprojection kernel is
+    fast (430 -> ~10 ms/frame at 1440x720).
+    Returns (basis (S, k+1), interval index i (S,), one-hot of i (S, n_t)).
+    """
+    n_t = t.shape[0]
+    ge = u[:, None] >= t[None, :]
+    i = jnp.clip(
+        jnp.sum(ge.astype(jnp.int32), axis=1) - 1, k, n_t - k - 2
+    )
+    oh = (
+        jnp.arange(n_t, dtype=jnp.int32)[None, :] == i[:, None]
+    ).astype(jnp.float32)
+    # tmat[:, m] = t[j + o] for offset o = m + 1 - k, edge-padded (i is
+    # clipped so i+o never actually reads the padding)
+    tp = jnp.concatenate(
+        [jnp.full((k,), t[0]), t, jnp.full((k,), t[-1])]
+    )
+    tmat = jnp.stack(
+        [lax.dynamic_slice(tp, (m + 1,), (n_t,)) for m in range(2 * k)],
+        axis=-1,
+    )
+    knots = jnp.matmul(oh, tmat, precision=lax.Precision.HIGHEST)
+
+    def t_at(o):  # t[i + o], o in [1-k, k]
+        return knots[:, o + k - 1]
+
+    n = [jnp.ones_like(u)]
+    for d in range(1, k + 1):
+        left = jnp.stack([t_at(1 - j) for j in range(d, 0, -1)], -1)
+        right = jnp.stack([t_at(j) for j in range(1, d + 1)], -1)
+        denom = right - left
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        term = (u[..., None] - left) / denom
+        n_prev = jnp.stack(n, -1)
+        n_new = [n_prev[..., 0] * (1.0 - term[..., 0])]
+        for j in range(1, d):
+            n_new.append(
+                n_prev[..., j - 1] * term[..., j - 1]
+                + n_prev[..., j] * (1.0 - term[..., j])
+            )
+        n_new.append(n_prev[..., d - 1] * term[..., d - 1])
+        n = n_new
+    return jnp.stack(n, -1), i, oh
+
+
+def _weight_matrix(jnp, basis, i, k: int, n_c: int):
+    """(S, n_c) row-sparse weight matrix W[s, i(s)-k+a] = basis[s, a]."""
+    jc = jnp.arange(n_c, dtype=jnp.int32)[None, :]
+    w = jnp.zeros((basis.shape[0], n_c), jnp.float32)
+    for a in range(k + 1):
+        w = w + basis[:, a : a + 1] * (
+            jc == (i - k + a)[:, None]
+        ).astype(jnp.float32)
+    return w
+
+
+#: Above this many coefficients per axis the one-hot weight matrices get
+#: bandwidth-bound; fall back to the gather evaluator.
+_ONEHOT_MAX_COEFFS = 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _spline_eval_onehot_fn(kx: int, ky: int, batched: bool,
+                           propagate_nan: bool):
+    """
+    Jitted gather-free spline evaluator (MXU formulation).
+
+    The scattered-gather form (``_spline_eval_fn``) costs ~50 gathers of
+    N map samples; XLA:TPU scalarizes those. Here every lookup becomes a
+    one-hot/weighted matmul against the small coefficient grid:
+
+        val[s] = sum_ab By[s,a] Bx[s,b] C[iy(s)-ky+a, ix(s)-kx+b]
+               = rowsum( (Wy @ C) * Wx )
+
+    with Wy/Wx row-sparse (k+1 nonzeros). The 4-neighbour NaN test is the
+    same trick against the NaN-indicator grid. Samples stream in chunks
+    (lax.map) to bound the (chunk, n_c) weight matrices; for cubes the
+    weights are built once per chunk and every frame rides the same pair
+    of matmuls. Matmuls run precision=HIGHEST (bf16 passes would corrupt
+    f32 data values).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def chunk_eval(ty, tx, c2, nanf, y, x, valid):
+        # c2: (..., n_cy, n_cx) f32; nanf: (..., ny_i, nx_i) f32
+        n_cy = ty.shape[0] - ky - 1
+        n_cx = tx.shape[0] - kx - 1
+        yc = jnp.clip(y, ty[ky], ty[-ky - 1])
+        xc = jnp.clip(x, tx[kx], tx[-kx - 1])
+        by, iy, _ = _basis_onehot(jnp, lax, ty, ky, yc)
+        bx, ix, _ = _basis_onehot(jnp, lax, tx, kx, xc)
+        wy = _weight_matrix(jnp, by, iy, ky, n_cy)
+        wx = _weight_matrix(jnp, bx, ix, kx, n_cx)
+
+        mask = valid
+        if propagate_nan:
+            ny_i, nx_i = nanf.shape[-2:]
+            y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ny_i - 1)
+            y1 = jnp.clip(jnp.ceil(y).astype(jnp.int32), 0, ny_i - 1)
+            x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx_i - 1)
+            x1 = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, nx_i - 1)
+            jy = jnp.arange(ny_i, dtype=jnp.int32)[None, :]
+            jx = jnp.arange(nx_i, dtype=jnp.int32)[None, :]
+            uy = (
+                (jy == y0[:, None]) | (jy == y1[:, None])
+            ).astype(jnp.float32)
+            ux = (
+                (jx == x0[:, None]) | (jx == x1[:, None])
+            ).astype(jnp.float32)
+            outside = (
+                (x < 0.0) | (y < 0.0) | (x > nx_i - 1) | (y > ny_i - 1)
+            )
+
+        def per_frame(c2_f, nanf_f):
+            rows = jnp.matmul(wy, c2_f, precision=lax.Precision.HIGHEST)
+            val = jnp.sum(rows * wx, axis=-1)
+            m = mask
+            if propagate_nan:
+                cnt = jnp.sum(
+                    jnp.matmul(
+                        uy, nanf_f, precision=lax.Precision.HIGHEST
+                    ) * ux,
+                    axis=-1,
+                )
+                m = m & ~(outside | (cnt > 0.5))
+            return jnp.where(m, val, jnp.nan)
+
+        if batched:
+            return jax.vmap(per_frame)(c2, nanf)
+        return per_frame(c2, nanf)
+
+    def fn(ty, tx, c, nans, y, x, valid):
+        ty = ty.astype(jnp.float32)
+        tx = tx.astype(jnp.float32)
+        n_cy = ty.shape[0] - ky - 1
+        n_cx = tx.shape[0] - kx - 1
+        c2 = c.astype(jnp.float32).reshape(c.shape[:-1] + (n_cy, n_cx))
+        nanf = nans.astype(jnp.float32)
+        y = y.astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        n = y.shape[0]
+        n_c = max(n_cy, n_cx)
+        # ~0.5 GB for the largest (frames, chunk, n_c) intermediate:
+        # small grids evaluate in few chunks (lax.map serializes chunks,
+        # so fewer/bigger chunks keep the device busy), while cube inputs
+        # shrink the chunk so the per-frame row matrices still fit
+        n_frames = c.shape[0] if batched else 1
+        chunk = int(
+            min(max(n, 1), max(8192, (1 << 27) // (n_c * n_frames)))
+        )
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        yp = jnp.pad(y, (0, pad)).reshape(n_chunks, chunk)
+        xp = jnp.pad(x, (0, pad)).reshape(n_chunks, chunk)
+        vp = jnp.pad(valid, (0, pad)).reshape(n_chunks, chunk)
+        out = lax.map(
+            lambda a: chunk_eval(ty, tx, c2, nanf, a[0], a[1], a[2]),
+            (yp, xp, vp),
+        )
+        # lax.map stacks chunks on axis 0; batched frames land on axis 1
+        if batched:
+            out = jnp.moveaxis(out, 1, 0).reshape(c.shape[0], -1)
+        else:
+            out = out.reshape(-1)
+        return out[..., :n].astype(jnp.float32)
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=None)
 def _spline_eval_fn(kx: int, ky: int, batched: bool, propagate_nan: bool):
     """Jitted masked de Boor tensor-product evaluator."""
@@ -182,7 +360,7 @@ def _fitpack_coeffs(img, kx, ky, spline_smoothing, warn_nan):
 
 def spline_interpolation_device(
     img, x_map, y_map, *, interpolation, warn_nan: bool,
-    propagate_nan: bool, spline_smoothing: float,
+    propagate_nan: bool, spline_smoothing: float, as_numpy: bool = True,
 ):
     """
     Device-evaluated spline reprojection. ``img`` may be 2D ``(ny, nx)``
@@ -190,6 +368,7 @@ def spline_interpolation_device(
     batched device evaluation). Returns an array shaped like the map (or
     ``(nz,) + map``); values carry float32 precision (relative 6e-8).
     """
+    import jax
     import jax.numpy as jnp
 
     if isinstance(interpolation, int):
@@ -201,6 +380,12 @@ def spline_interpolation_device(
     frames = img if cube else img[None]
     nz = frames.shape[0]
     x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
+
+    def pick_eval(ty, tx, batched):
+        n_c = max(ty.shape[0] - ky - 1, tx.shape[0] - kx - 1)
+        if n_c <= _ONEHOT_MAX_COEFFS:
+            return _spline_eval_onehot_fn(kx, ky, batched, propagate_nan)
+        return _spline_eval_fn(kx, ky, batched, propagate_nan)
 
     results = np.full((nz,) + x_map.shape, np.nan)
     coeffs: list[np.ndarray] = []
@@ -222,11 +407,11 @@ def spline_interpolation_device(
             # FITPACK places knots adaptively when smoothing: frames can
             # share knot counts but not positions, so compare values
             # Different smoothing outcomes per frame: rare; evaluate alone
-            fn = _spline_eval_fn(kx, ky, False, propagate_nan)
-            vals = fn(
-                jnp.asarray(ty), jnp.asarray(tx), jnp.asarray(c),
-                jnp.asarray(np.isnan(frame)), y_dev, x_dev, valid_dev,
-            )
+            fn = pick_eval(ty, tx, False)
+            # one batched upload: each separate host->device sync through
+            # a remote-TPU transport pays a fixed latency quantum
+            dev = jax.device_put((ty, tx, c, np.isnan(frame)))
+            vals = fn(*dev, y_dev, x_dev, valid_dev)
             results[i] = np.asarray(vals).reshape(x_map.shape)
             singles.append(i)
             continue
@@ -236,20 +421,27 @@ def spline_interpolation_device(
 
     if good:
         if len(good) == 1:
-            fn = _spline_eval_fn(kx, ky, False, propagate_nan)
-            vals = np.asarray(fn(
-                jnp.asarray(knots[0]), jnp.asarray(knots[1]),
-                jnp.asarray(coeffs[0]), jnp.asarray(nan_grids[0]),
-                y_dev, x_dev, valid_dev,
-            )).reshape((1,) + x_map.shape)
+            fn = pick_eval(knots[0], knots[1], False)
+            dev = jax.device_put(
+                (knots[0], knots[1], coeffs[0], nan_grids[0])
+            )
+            vals = fn(*dev, y_dev, x_dev, valid_dev).reshape(
+                (1,) + x_map.shape
+            )
         else:
-            fn = _spline_eval_fn(kx, ky, True, propagate_nan)
-            vals = np.asarray(fn(
-                jnp.asarray(knots[0]), jnp.asarray(knots[1]),
-                jnp.asarray(np.stack(coeffs)),
-                jnp.asarray(np.stack(nan_grids)),
-                y_dev, x_dev, valid_dev,
-            )).reshape((len(good),) + x_map.shape)
+            fn = pick_eval(knots[0], knots[1], True)
+            dev = jax.device_put(
+                (knots[0], knots[1], np.stack(coeffs),
+                 np.stack(nan_grids))
+            )
+            vals = fn(*dev, y_dev, x_dev, valid_dev).reshape(
+                (len(good),) + x_map.shape
+            )
+        if not as_numpy and not singles and len(good) == nz:
+            # every frame evaluated on device with shared knots: hand the
+            # device array straight back (no device->host copy)
+            return vals if cube else vals[0]
+        vals = np.asarray(vals)
         for j, i in enumerate(good):
             results[i] = vals[j]
 
@@ -274,13 +466,15 @@ def _nearest_fn(batched: bool):
     return jax.jit(fn)
 
 
-def nearest_interpolation_device(img, x_map, y_map):
+def nearest_interpolation_device(img, x_map, y_map, as_numpy: bool = True):
     """Nearest-pixel gather on device (reference body_xy.py:1633-1649)."""
     import jax.numpy as jnp
 
     x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
     cube = img.ndim == 3
     fn = _nearest_fn(cube)
-    out = np.asarray(fn(jnp.asarray(img), y_dev, x_dev, valid_dev))
+    out = fn(jnp.asarray(img), y_dev, x_dev, valid_dev)
     shape = (img.shape[0],) + x_map.shape if cube else x_map.shape
+    if as_numpy:
+        return np.asarray(out).reshape(shape)
     return out.reshape(shape)
