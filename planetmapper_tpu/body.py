@@ -589,12 +589,17 @@ class Body(BodyBase):
         lon = np.asarray(lon, dtype=float)
         lat = np.asarray(lat, dtype=float)
         lon_e = -lon if self.positive_longitude_direction == 'W' else lon
-        targvec = np.asarray(
-            geom.geodetic_to_rect(
-                lon_e, lat, np.asarray(alt, dtype=float),
-                self.r_eq, self.flattening,
+        from .core.scene import _host_device
+
+        with _host_device():
+            # local CPU: device (TPU) f64 transcendentals round at ~1e-9,
+            # which breaks exact round trips of the scalar API
+            targvec = np.asarray(
+                geom.geodetic_to_rect(
+                    lon_e, lat, np.asarray(alt, dtype=float),
+                    self.r_eq, self.flattening,
+                )
             )
-        )
         bad = ~(np.isfinite(lon) & np.isfinite(lat) & np.isfinite(alt))
         if np.any(bad):
             targvec = np.where(
@@ -616,9 +621,12 @@ class Body(BodyBase):
     def _targvec2lonlat_radians(self, targvec):
         """Body-fixed vectors -> planetographic radians (recpgr equivalent)."""
         targvec = np.asarray(targvec, dtype=float)
-        lon_e, lat, _alt = geom.rect_to_geodetic(
-            targvec, self.r_eq, self.flattening
-        )
+        from .core.scene import _host_device
+
+        with _host_device():  # see _lonlat2targvec_radians
+            lon_e, lat, _alt = geom.rect_to_geodetic(
+                targvec, self.r_eq, self.flattening
+            )
         lon_e = np.asarray(lon_e)
         lat = np.asarray(lat)
         if self.positive_longitude_direction == 'W':
@@ -670,7 +678,15 @@ class Body(BodyBase):
     def _radec2obsvec_norm_radians(self, ra, dec) -> np.ndarray:
         ra = np.asarray(ra, dtype=float)
         dec = np.asarray(dec, dtype=float)
-        out = np.asarray(geom.radec_to_rect(np.ones_like(ra), ra, dec))
+        # host numpy trig: these scalar/small-array transforms must invert
+        # their numpy counterparts exactly - device (TPU) f64
+        # transcendentals round at ~1e-9 rad, which is ~km on the target
+        # plane and breaks radec<->km/angular round trips
+        cos_dec = np.cos(dec)
+        out = np.stack(
+            [np.cos(ra) * cos_dec, np.sin(ra) * cos_dec, np.sin(dec)],
+            axis=-1,
+        )
         bad = ~(np.isfinite(ra) & np.isfinite(dec))
         if np.any(bad):
             out = np.where(np.asarray(bad)[..., None], np.nan, out)
@@ -845,9 +861,12 @@ class Body(BodyBase):
         origin_obsvec = self._radec2obsvec_norm_radians(
             *self._degree_pair2radians(origin_ra, origin_dec)
         )
-        _, ra_angle, _ = geom.rect_to_radec(np.asarray(origin_obsvec))
-        ra_matrix = _spice_rotate(float(ra_angle), 3)
-        _, _, dec_angle = geom.rect_to_radec(ra_matrix @ origin_obsvec)
+        from .core.scene import _host_device
+
+        with _host_device():  # see _lonlat2targvec_radians
+            _, ra_angle, _ = geom.rect_to_radec(np.asarray(origin_obsvec))
+            ra_matrix = _spice_rotate(float(ra_angle), 3)
+            _, _, dec_angle = geom.rect_to_radec(ra_matrix @ origin_obsvec)
         dec_matrix = _spice_rotate(-float(dec_angle), 2)
         rotation_matrix = _spice_rotate(np.deg2rad(coordinate_rotation), 1)
         return rotation_matrix @ dec_matrix @ ra_matrix
@@ -856,7 +875,13 @@ class Body(BodyBase):
         obsvec = np.asarray(obsvec, dtype=float)
         m = self._get_obsvec2angular_matrix(**angular_kwargs)
         vec = obsvec @ m.T
-        _, x_rad, y_rad = geom.rect_to_radec(vec)
+        # host numpy trig (see _radec2obsvec_norm_radians)
+        r = np.linalg.norm(vec, axis=-1)
+        x_rad = np.mod(np.arctan2(vec[..., 1], vec[..., 0]), 2.0 * np.pi)
+        with np.errstate(invalid='ignore'):
+            y_rad = np.arcsin(
+                np.clip(vec[..., 2] / np.where(r > 0, r, 1.0), -1.0, 1.0)
+            )
         x = np.mod(-np.rad2deg(np.asarray(x_rad)), 360.0)
         x = np.where(x > 180.0, x - 360.0, x)
         y = np.rad2deg(np.asarray(y_rad))
@@ -870,12 +895,13 @@ class Body(BodyBase):
     def _angular2obsvec_norm(self, angular_x, angular_y, **angular_kwargs):
         angular_x = np.asarray(angular_x, dtype=float)
         angular_y = np.asarray(angular_y, dtype=float)
-        vec = np.asarray(
-            geom.radec_to_rect(
-                np.ones_like(angular_x),
-                -np.deg2rad(angular_x / 3600.0),
-                np.deg2rad(angular_y / 3600.0),
-            )
+        # host numpy trig (see _radec2obsvec_norm_radians)
+        ra = -np.deg2rad(angular_x / 3600.0)
+        dec = np.deg2rad(angular_y / 3600.0)
+        cos_dec = np.cos(dec)
+        vec = np.stack(
+            [np.cos(ra) * cos_dec, np.sin(ra) * cos_dec, np.sin(dec)],
+            axis=-1,
         )
         m = self._get_obsvec2angular_matrix(**angular_kwargs)
         return vec @ m  # (M^T @ v)^T = v @ M
@@ -1515,9 +1541,12 @@ class Body(BodyBase):
         targvec = self._obsvec2targvec(
             np.where(ok[..., None], intercept, np.nan)
         )
-        lon_e, lat, alt = geom.rect_to_geodetic(
-            np.asarray(targvec), self.r_eq, self.flattening
-        )
+        from .core.scene import _host_device
+
+        with _host_device():  # see _lonlat2targvec_radians
+            lon_e, lat, alt = geom.rect_to_geodetic(
+                np.asarray(targvec), self.r_eq, self.flattening
+            )
         lon_e = np.asarray(lon_e)
         alt = np.asarray(alt)
         if self.positive_longitude_direction == 'W':
@@ -1683,7 +1712,10 @@ class Body(BodyBase):
     # ------------------------------------------------------------------
     def _targvec2lonlat_centric(self, targvec):
         targvec = np.asarray(targvec, dtype=float)
-        r, lon_c, lat_c = geom.rect_to_latlon_centric(targvec)
+        from .core.scene import _host_device
+
+        with _host_device():  # see _lonlat2targvec_radians
+            r, lon_c, lat_c = geom.rect_to_latlon_centric(targvec)
         lon_c = np.asarray(lon_c)
         lat_c = np.asarray(lat_c)
         bad = ~np.all(np.isfinite(targvec), axis=-1)
@@ -1719,9 +1751,12 @@ class Body(BodyBase):
         lon_c = np.deg2rad(np.asarray(lon_centric, dtype=float))
         lat_c = np.deg2rad(np.asarray(lat_centric, dtype=float))
         # latsrf equivalent: radial surface point at the centric direction
-        direction = np.asarray(
-            geom.radec_to_rect(np.ones_like(lon_c), lon_c, lat_c)
-        )
+        from .core.scene import _host_device
+
+        with _host_device():  # see _lonlat2targvec_radians
+            direction = np.asarray(
+                geom.radec_to_rect(np.ones_like(lon_c), lon_c, lat_c)
+            )
         surface = np.asarray(
             geom.radial_surface_point(
                 direction, np.asarray(self.radii, dtype=float)

@@ -530,10 +530,19 @@ class SceneEngine:
             self._apparent_target_center(et)
         )
         axis = target_obsvec / jnp.linalg.norm(target_obsvec, axis=-1)
-        refvec = jnp.array([0.0, 0.0, 1.0])
+        # CSPICE limbpt expresses refvec in the fixref (body-fixed) frame
+        # (reference body.py:1938-1964 passes refvec=[0,0,1] with
+        # fixref=target_frame): [0,0,1] is the spin axis, expressed here
+        # in J2000 via the frame rotation at the center's corrected epoch
+        rot_c = self.frame_model.j2000_to_bodyfixed_matrix(
+            sub['subpoint_et']
+        )
+        refvec = rot_c[2, :]  # = rot_c^T @ [0,0,1]
         e1 = refvec - jnp.sum(refvec * axis) * axis
         e1 = e1 / jnp.linalg.norm(e1)
-        e2 = jnp.cross(axis, e1)
+        # CSPICE's half-plane axis points target->observer (opposite of
+        # ``axis`` here), so positive roll is LEFT-handed about our axis
+        e2 = -jnp.cross(axis, e1)
         # Half-plane directions for each roll angle (J2000)
         v_roll = (
             e1 * jnp.cos(rolls)[..., None] + e2 * jnp.sin(rolls)[..., None]
@@ -617,9 +626,12 @@ class SceneEngine:
             sun_bf = jnp.einsum('...ij,...j->...i', rot, sun_vec)
 
             axis = sun_bf / jnp.linalg.norm(sun_bf, axis=-1, keepdims=True)
-            ref_bf = jnp.einsum(
-                '...ij,...j->...i', rot,
-                jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), sun_bf.shape),
+            # CSPICE termpt expresses refvec in the fixref (body-fixed)
+            # frame: [0,0,1] IS the spin axis - no frame conversion
+            # (reference body.py:2510-2527 passes refvec=[0,0,1] with
+            # fixref=target_frame)
+            ref_bf = jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0]), sun_bf.shape
             )
             e1 = ref_bf - jnp.sum(ref_bf * axis, axis=-1, keepdims=True) * axis
             e1 = e1 / jnp.linalg.norm(e1, axis=-1, keepdims=True)

@@ -534,8 +534,24 @@ class Observation(BodyXY):
         self, *, interpolation, spline_smoothing, propagate_nan,
         smooth_oversample_by, smooth_max_oversampled_img_size, **map_kwargs,
     ) -> np.ndarray:
-        projected = []
         data = self.data
+        if interpolation != 'smooth':
+            # One batched call: the device spline/nearest paths map every
+            # wavelength frame in a single program (shared sample-weight
+            # matrices), instead of a per-frame Python loop
+            self._update_progress_hook(0.0)
+            return np.asarray(
+                self.map_img(
+                    data,
+                    spline_smoothing=spline_smoothing,
+                    interpolation=interpolation,
+                    propagate_nan=propagate_nan,
+                    smooth_oversample_by=smooth_oversample_by,
+                    smooth_max_oversampled_img_size=smooth_max_oversampled_img_size,
+                    **map_kwargs,
+                )
+            )
+        projected = []
         for idx, img in enumerate(data):
             self._update_progress_hook(idx / len(data))
             projected.append(

@@ -904,7 +904,7 @@ def _mixed_impl_fn(
             + a_dot[..., None] * m0
             + a_dot[..., None] * dd
         )
-        near_dist = fm.norm3_64(p_off)
+        dot_a = fm.dot3(p_off, p_off)  # |near point - observer ray|^2, f64
         off = p_off + (o_t - anchors['subpoint_obsvec'])
         # |(-subpoint_rayvec) + off| - subpoint_distance, cancellation-free:
         # (2 A.off + |off|^2) / (|A + off| + |A|) with |A| = sp_dist
@@ -931,13 +931,15 @@ def _mixed_impl_fn(
         )
         nt_scaled = near_targvec * inv_radii
         scale_l = fm.rsqrt64(fm.dot3(nt_scaled, nt_scaled))
-        limb_surface = near_targvec * scale_l[..., None]
-        # geodetic conversion in f32 on the f64 surface point (same error
-        # budget as the LAT-GRAPHIC demotion above: ~1e-5 deg); the
-        # LIMB-DISTANCE subtraction below keeps the cm-level f64 chain
-        lx = limb_surface[..., 0].astype(f32)
-        ly = limb_surface[..., 1].astype(f32)
-        lz = limb_surface[..., 2].astype(f32)
+        dot_b = fm.dot3(near_targvec, near_targvec) * scale_l * scale_l
+        # geodetic conversion in f32 (direction only: ~4e-3 km lateral
+        # rounding of the ~7e4 km point is ~4e-6 deg, well inside the
+        # 5e-5 deg contract); LIMB-DISTANCE below keeps the f64 chain
+        near32 = near_targvec.astype(f32)
+        scale32 = scale_l.astype(f32)
+        lx = near32[..., 0] * scale32
+        ly = near32[..., 1] * scale32
+        lz = near32[..., 2] * scale32
         lrho = jnp.sqrt(lx * lx + ly * ly)
         limb_lon_e = jnp.arctan2(ly, lx).astype(jnp.float64)
         lw = lrho * omf_l
@@ -951,7 +953,13 @@ def _mixed_impl_fn(
         ).astype(jnp.float64)
         out['LIMB-LON-GRAPHIC'] = _mod360(lon_sign * limb_lon_e * (1.0 / DEG))
         out['LIMB-LAT-GRAPHIC'] = limb_lat * (1.0 / DEG)
-        out['LIMB-DISTANCE'] = near_dist - fm.norm3_64(limb_surface)
+        # |A| - |B| as (|A|^2 - |B|^2)/(|A| + |B|): the squared norms are
+        # exact f64 dots (no sqrt chains), the denominator only needs f32
+        # relative accuracy, and the cancellation sits in the f64 subtract
+        den_l = jnp.sqrt(dot_a.astype(f32)) + jnp.sqrt(dot_b.astype(f32))
+        out['LIMB-DISTANCE'] = (dot_a - dot_b) * (
+            1.0 / den_l
+        ).astype(jnp.float64)
 
         # ------- ring plane -------------------------------------------------
         rn = anchors['ring_plane_normal']
@@ -1069,13 +1077,22 @@ def _azimuth_repair_f64(
     rot2h = 0.5 * anchors['rot2']
 
     def az64_at(dtau_k, spoint_k):
-        rot = (
-            rot0
-            + rot1 * dtau_k[..., None, None]
-            + rot2h * (dtau_k * dtau_k)[..., None, None]
+        # Factored rotation (see the intercept section): constant-matrix
+        # f64 base + dtau-scaled f32 corrections, instead of a per-pixel
+        # (3,3) f64 rotation build. The corrections are ~1e-4 relative,
+        # so their f32 rounding perturbs the unit vectors at ~1e-11 -
+        # orders below what the arccos conditioning needs here.
+        f32_ = jnp.float32
+        dt32 = dtau_k.astype(f32_)
+        sp32_k = spoint_k.astype(f32_)
+        corr_p = (
+            dt32[..., None] * _matvec(rot1.T.astype(f32_), sp32_k)
+            + (dt32 * dt32)[..., None]
+            * _matvec(rot2h.T.astype(f32_), sp32_k)
         )
-        bf2j = jnp.swapaxes(rot, -1, -2)
-        point_j = _matvec(bf2j, spoint_k)
+        point_j = _const_matvec(rot0.T, spoint_k) + corr_p.astype(
+            jnp.float64
+        )
         srfvec = targ_rel0 + targ_vel0 * dtau_k[..., None] + point_j
         u_obs = -fm.normalize3_64(srfvec)
         point_ssb = (
@@ -1091,7 +1108,13 @@ def _azimuth_repair_f64(
         )
         u_sun = fm.normalize3_64(sun_pos - point_ssb)
         n_bf = fm.normalize3_64(spoint_k * (inv_radii * inv_radii))
-        n_j = _matvec(bf2j, n_bf)
+        corr_n = (
+            dt32[..., None]
+            * _matvec(rot1.T.astype(f32_), n_bf.astype(f32_))
+            + (dt32 * dt32)[..., None]
+            * _matvec(rot2h.T.astype(f32_), n_bf.astype(f32_))
+        )
+        n_j = _const_matvec(rot0.T, n_bf) + corr_n.astype(jnp.float64)
         cp = fm.dot3(u_sun, u_obs)
         ci = fm.dot3(n_j, u_sun)
         ce = fm.dot3(n_j, u_obs)
