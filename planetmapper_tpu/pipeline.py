@@ -630,11 +630,14 @@ def _mixed_impl_fn(
         dtau_base = ((delta0 - tp) * (1.0 / CLIGHT)).astype(f32)
         sigma_nf32 = (sigma_nf - tp).astype(f32)
         dtau = dtau_base
-        # 3 f32 iterations + the f64 evaluation below = the same 4-step
-        # fixed point as the 'double' pipeline. Near the limb the grazing
-        # geometry amplifies the contraction factor (v/c -> v/(c cos e)),
-        # so fewer iterations visibly under-converge there.
-        for _ in range(3):
+        # 2 f32 iterations + the f64 evaluation below: measured against
+        # the 3-iteration fixed point on a 512^2 grazing-heavy disc the
+        # worst plane moves 7.6e-6 deg (LON-CENTRIC) - 6x inside the
+        # 5e-5 deg contract. (Near the limb the contraction factor is
+        # amplified, v/c -> v/(c cos e), so dropping to 1 DOES visibly
+        # under-converge.)
+        n_lt_iters = int(os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2'))
+        for _ in range(n_lt_iters):
             cq, cd = _corrs(dtau)
             u = (q_b32 + cq) * inv_r32
             v = (d_b32 + cd) * (re32 * inv_r32)
@@ -1194,7 +1197,11 @@ def get_fused_pipeline(body, nx: int, ny: int):
     import jax
 
     precision = getattr(body, '_pipeline_precision', DEFAULT_PRECISION)
-    band_rows = int(os.environ.get('PLANETMAPPER_TPU_BAND_ROWS', '32'))
+    # 256-row bands measured best at 2048^2 after the f32 demotions
+    # (16 : 82, 32 : 56, 64 : 43, 128 : 37, 256 : 32, untiled : 48 ms
+    # pipelined on v5e - the lighter per-pixel state lets much larger
+    # bands stay resident than the original 32-row choice)
+    band_rows = int(os.environ.get('PLANETMAPPER_TPU_BAND_ROWS', '256'))
     nx_b = _bucket_size(nx)
     tiled = ny > 4 * band_rows
     ny_b = -(-ny // band_rows) * band_rows if tiled else _bucket_size(ny)
