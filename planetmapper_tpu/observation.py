@@ -32,6 +32,8 @@ from .io import fits
 from .io.wcs import WCS
 from .progress import (
     CLIProgressHook,
+    SaveMapProgressHookCLI,
+    SaveNavProgressHookCLI,
     progress_decorator,
 )
 
@@ -698,7 +700,7 @@ class Observation(BodyXY):
         )
         if show_progress and self._get_progress_hook() is None:
             print_info = False
-            self._set_progress_hook(CLIProgressHook())
+            self._set_progress_hook(SaveNavProgressHookCLI())
         else:
             show_progress = False
 
@@ -799,7 +801,7 @@ class Observation(BodyXY):
         )
         if show_progress and self._get_progress_hook() is None:
             print_info = False
-            self._set_progress_hook(CLIProgressHook())
+            self._set_progress_hook(SaveMapProgressHookCLI(len(self.data)))
         else:
             show_progress = False
 

@@ -176,6 +176,66 @@ NAVIGATION_SAVE_WEIGHTS: dict[str, float] = {
     'get_local_solar_time_img': 1,
 }
 
+class _SaveProgressHookCLI(WeightedProgressHook):
+    """
+    Weighted save progress rendered as a single tqdm percentage bar
+    (reference progress.py:199-225). ``description`` labels the bar; the
+    bar closes when overall progress reaches 100%.
+    """
+
+    description = 'Saving'
+
+    def __init__(self, parts: dict[str, float]) -> None:
+        super().__init__(parts)
+        import tqdm
+
+        self.bar = tqdm.tqdm(
+            total=100,
+            desc=self.get_description(),
+            unit='%',
+            bar_format=(
+                '{l_bar}{bar}| [{elapsed}<{remaining}, {rate_fmt}{postfix}]'
+            ),
+            leave=True,
+        )
+        self._shown = 0.0
+
+    def get_description(self) -> str:
+        return self.description
+
+    def update_bar(self, progress_change: float) -> None:
+        self.bar.update(progress_change * 100)
+
+    def __call__(self, progress: float, stack: list[str]) -> None:
+        super().__call__(progress, stack)
+        overall = self.overall_progress() * 100
+        if overall > self._shown:
+            self.update_bar((overall - self._shown) / 100)
+            self._shown = overall
+        if overall >= 100:
+            self.bar.close()
+
+
+class SaveNavProgressHookCLI(_SaveProgressHookCLI):
+    """CLI progress bar for ``save_observation`` (reference progress.py:218)."""
+
+    description = 'Saving observation'
+
+    def __init__(self) -> None:
+        super().__init__(dict(NAVIGATION_SAVE_WEIGHTS))
+
+
+class SaveMapProgressHookCLI(_SaveProgressHookCLI):
+    """CLI progress bar for ``save_mapped_observation`` (reference progress.py:223)."""
+
+    description = 'Saving map'
+
+    def __init__(self, n_wavelengths: int = 1) -> None:
+        parts = dict(MAP_SAVE_WEIGHTS)
+        parts['_get_mapped_data'] = max(int(n_wavelengths), 1) * 2.0
+        super().__init__(parts)
+
+
 MAP_SAVE_WEIGHTS: dict[str, float] = {
     '_get_targvec_map': 10,
     '_get_lonlat_centric_map': 1,

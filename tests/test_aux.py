@@ -124,6 +124,28 @@ class TestProgress:
         )
         assert parent_events
 
+    def test_save_progress_hooks_cli(self, capsys):
+        for hook in (
+            progress.SaveNavProgressHookCLI(),
+            progress.SaveMapProgressHookCLI(7),
+        ):
+            assert hook.get_description().startswith('Saving')
+            for name, part in hook.parts.items():
+                hook(0.5, [name])
+                hook(1.0, [name])
+            assert hook.overall_progress() == pytest.approx(1.0)
+            assert hook.bar.n == pytest.approx(100, abs=1)
+
+    def test_save_map_hook_scales_with_wavelengths(self):
+        small = progress.SaveMapProgressHookCLI(1)
+        big = progress.SaveMapProgressHookCLI(100)
+        assert (
+            big.parts['_get_mapped_data'].weight
+            > small.parts['_get_mapped_data'].weight
+        )
+        small.bar.close()
+        big.bar.close()
+
 
 class TestExceptions:
     def test_warn(self):
