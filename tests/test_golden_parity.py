@@ -15,7 +15,7 @@ import pytest
 
 from common import setup_kernels
 
-from planetmapper_tpu import Body
+from planetmapper_tpu import Body, BodyXY
 
 
 @pytest.fixture(scope='module', autouse=True)
@@ -321,3 +321,103 @@ class TestGeometryGoldens:
         assert np.isclose(body.north_pole_angle(), -24.15516987997688)
         body2 = Body('Jupiter', observer='HST', utc='2009-01-01T00:00:00')
         assert np.isclose(body2.north_pole_angle(), 13.550583134129457)
+
+
+@pytest.fixture(scope='module')
+def body_xy():
+    return BodyXY(
+        'Jupiter', observer='HST', utc='2005-01-01T00:00:00', nx=15, ny=10
+    )
+
+
+class TestBodyXYGoldens:
+    # reference tests/test_body_xy.py:765
+    def test_limb_xy(self, body_xy):
+        body_xy.set_disc_params(5, 8, 10, 45)
+        x, y = body_xy.limb_xy(npts=5)
+        assert np.allclose(
+            x,
+            [8.3280756, -2.73574834, -3.00515718, 7.49990606,
+             14.92008563, 8.3280756],
+        )
+        assert np.allclose(
+            y,
+            [16.74059437, 14.22970414, 2.77048972, -1.2293739,
+             7.50713047, 16.74059437],
+        )
+
+    # reference tests/test_body_xy.py:796
+    def test_limb_xy_by_illumination(self, body_xy):
+        body_xy.set_disc_params(5, 8, 10, 45)
+        xd, yd, xn, yn = body_xy.limb_xy_by_illumination(npts=5)
+        assert np.allclose(
+            xd, [8.3280756, -2.73574834, -3.00515718, nan, nan, 8.3280756],
+            equal_nan=True,
+        )
+        assert np.allclose(
+            xn, [nan, nan, nan, 7.49990606, 14.92008563, nan],
+            equal_nan=True,
+        )
+
+    # reference tests/test_body_xy.py:813
+    def test_terminator_xy(self, body_xy):
+        body_xy.set_disc_params(5, 8, 10, 45)
+        x, y = body_xy.terminator_xy(npts=3)
+        assert np.allclose(
+            x, [nan, nan, 11.14140527, nan], equal_nan=True, atol=1e-3
+        )
+        assert np.allclose(
+            y, [nan, nan, 0.48169876, nan], equal_nan=True, atol=1e-3
+        )
+
+    # reference tests/test_body_xy.py:850
+    def test_ring_xy(self, body_xy):
+        body_xy.set_disc_params(5, 8, 10, 45)
+        x, y = body_xy.ring_xy(1234.5678, npts=4)
+        assert np.all(np.isnan(x)) and np.all(np.isnan(y))
+        x, y = body_xy.ring_xy(123456.789, npts=5)
+        assert np.allclose(
+            x, [nan, 19.52699622, -2.03791988, -9.52453066, nan],
+            equal_nan=True,
+        )
+        assert np.allclose(
+            y, [nan, 2.86248741, 11.45672546, 13.13660032, nan],
+            equal_nan=True,
+        )
+
+    # reference tests/test_body_xy.py:2120
+    def test_backplane_img_golden(self, body_xy):
+        body_xy.set_img_size(4, 3)
+        body_xy.set_disc_params(2, 1, 1.5, 45.678)
+        try:
+            img = body_xy.get_backplane_img(' emission ')
+            assert np.allclose(
+                img,
+                [
+                    [nan, 86.56708848, 46.84006258, 72.67205499],
+                    [nan, 42.68886971, 0.38721538, 42.52071712],
+                    [nan, 72.63701695, 46.49373305, 86.56516607],
+                ],
+                equal_nan=True,
+                atol=5e-5,
+            )
+        finally:
+            body_xy.set_img_size(15, 10)
+
+    # reference tests/test_body_xy.py:2139
+    def test_backplane_map_golden(self, body_xy):
+        body_xy.set_img_size(4, 3)
+        body_xy.set_disc_params(2, 1, 1.5, 45.678)
+        try:
+            m = body_xy.get_backplane_map(' emission ', degree_interval=90)
+            assert np.allclose(
+                m,
+                [
+                    [129.64320026, 75.34674827, 45.20593116, 100.74624309],
+                    [134.80160102, 79.26258633, 50.36478231, 104.66172453],
+                ],
+                equal_nan=True,
+                atol=5e-5,
+            )
+        finally:
+            body_xy.set_img_size(15, 10)
