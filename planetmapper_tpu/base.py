@@ -336,9 +336,11 @@ class SpiceBase:
     @staticmethod
     def mjd2dtm(mjd: float) -> datetime.datetime:
         """Modified Julian Date to timezone-aware UTC datetime (base.py:499)."""
-        from .core.timebase import MJD_OFFSET, j2000_seconds_to_calendar
+        from .core.timebase import j2000_seconds_to_calendar
 
-        t = (float(mjd) + MJD_OFFSET - 2451545.0) * 86400.0
+        # Difference against the J2000 epoch in MJD directly: adding the
+        # 2.4e6-day JD offset first would lose ~40 us to f64 rounding
+        t = (float(mjd) - 51544.5) * 86400.0
         # Round to microseconds like a datetime can represent
         t = round(t * 1e6) / 1e6
         year, month, day, hour, minute, sec = j2000_seconds_to_calendar(t)

@@ -61,8 +61,13 @@ class LeapSecondData:
         return cls(delta_t_a, k, eb, m0, m1, pairs)
 
     def delta_at(self, utc_raw: float) -> float:
-        """TAI - UTC at the given raw UTC second count past J2000."""
-        value = self.leap_table[0][0]
+        """
+        TAI - UTC at the given raw UTC second count past J2000. Before
+        the first table epoch CSPICE uses one second less than the first
+        entry (each entry records the count AFTER the leap second at its
+        epoch) - matched here for ``et2utc`` parity on pre-1972 dates.
+        """
+        value = self.leap_table[0][0] - 1.0
         for v, epoch in self.leap_table:
             if utc_raw >= epoch:
                 value = v

@@ -66,7 +66,7 @@ def main() -> None:
     ))
 
     TILED = os.environ.get('PROF_TILED', '1') not in ('0', 'off')
-    BAND = 64
+    BAND = int(os.environ.get('PROF_BAND', '256'))
 
     def time_fn(keys):
         def wrapped(xy2angular, disc, radii, anchors):

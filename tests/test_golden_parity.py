@@ -323,6 +323,68 @@ class TestGeometryGoldens:
         assert np.isclose(body2.north_pole_angle(), 13.550583134129457)
 
 
+class TestBaseGoldens:
+    # reference tests/test_base.py:171
+    def test_et2dtm(self, body):
+        import datetime
+
+        utc = datetime.timezone.utc
+        pairs = (
+            (-999999999,
+             datetime.datetime(1968, 4, 24, 10, 12, 39, 814453, tzinfo=utc)),
+            (0,
+             datetime.datetime(2000, 1, 1, 11, 58, 55, 816073, tzinfo=utc)),
+            (42,
+             datetime.datetime(2000, 1, 1, 11, 59, 37, 816073, tzinfo=utc)),
+            (123456789,
+             datetime.datetime(2003, 11, 30, 9, 32, 4, 816943, tzinfo=utc)),
+            (0.123456789,
+             datetime.datetime(2000, 1, 1, 11, 58, 55, 939530, tzinfo=utc)),
+        )
+        for et, dtm in pairs:
+            assert body.et2dtm(et) == dtm, et
+
+    # reference tests/test_base.py:208
+    def test_mjd2dtm(self, body):
+        import datetime
+
+        utc = datetime.timezone.utc
+        pairs = [
+            (50000, datetime.datetime(1995, 10, 10, 0, 0, tzinfo=utc)),
+            (51234.56789,
+             datetime.datetime(1999, 2, 25, 13, 37, 45, 696000, tzinfo=utc)),
+            (60000.1, datetime.datetime(2023, 2, 25, 2, 24, tzinfo=utc)),
+        ]
+        for mjd, dtm in pairs:
+            assert body.mjd2dtm(mjd) == dtm, mjd
+
+    # reference tests/test_base.py:232
+    def test_doppler_factor(self, body):
+        c = body.speed_of_light()
+        assert c == 299792.458
+        pairs = [
+            (0, 1),
+            (12345.6789, 1.0420647220422994),
+            (2e5, 2.2379273771294423),
+            (c * 0.9, 4.358898943540674),
+        ]
+        for rv, df in pairs:
+            assert np.isclose(body.calculate_doppler_factor(rv), df), rv
+
+    # reference tests/test_base.py:319
+    def test_angular_dist(self, body):
+        pairs = [
+            ((0, 0, 0, 0), 0),
+            ((1, 2, 3, 4), 2.8264172166624126),
+            ((-42, 0, 1234.5678, 99), 81.37656372202063),
+            ((33.32295445419726, 12.216622516821692,
+              33.32295445419726, 12.216622516821692), 0),
+        ]
+        for angles, dist in pairs:
+            assert np.isclose(body.angular_dist(*angles), dist), angles
+        assert np.isnan(body.angular_dist(1, 2, 3, nan))
+
+
 @pytest.fixture(scope='module')
 def body_xy():
     return BodyXY(
