@@ -323,6 +323,47 @@ class TestGeometryGoldens:
         assert np.isclose(body2.north_pole_angle(), 13.550583134129457)
 
 
+class TestOcclusionGoldens:
+    # reference tests/test_body.py:1790
+    def test_other_body_los_intercept(self):
+        utc = '2005-01-01 04:00:00'
+        jupiter = Body('Jupiter', utc)
+        for moon, intercept, visible in [
+            ('thebe', 'hidden', False),
+            ('metis', 'transit', True),
+            ('amalthea', None, True),
+            ('adrastea', None, True),
+            ('jupiter', 'same', True),
+        ]:
+            assert jupiter.other_body_los_intercept(moon) == intercept, moon
+            assert jupiter.test_if_other_body_visible(moon) == visible, moon
+
+        body = Body('Jupiter', '2005-01-01 00:35:24')
+        assert body.other_body_los_intercept('amalthea') == 'part hidden'
+        assert body.test_if_other_body_visible('amalthea') is True
+
+        body = Body('Jupiter', '2005-01-01 06:34:05')
+        assert body.other_body_los_intercept('amalthea') == 'part transit'
+        assert body.test_if_other_body_visible('amalthea') is True
+
+    # reference tests/test_body.py:2051
+    def test_ring_radec(self, body):
+        ra, dec = body.ring_radec(10000, npts=5)  # inside jupiter
+        assert np.all(np.isnan(ra)) and np.all(np.isnan(dec))
+        ra, dec = body.ring_radec(100000, npts=5)
+        assert np.allclose(
+            ra, [nan, 196.36633034, 196.37500382, 196.37764017, nan],
+            equal_nan=True,
+        )
+        assert np.allclose(
+            dec, [nan, -5.56310623, -5.56681892, -5.56848105, nan],
+            equal_nan=True,
+        )
+        ra, dec = body.ring_radec(123456.789, npts=3, only_visible=False)
+        assert np.allclose(ra, [196.36825958, 196.37571178, 196.36825958])
+        assert np.allclose(dec, [-5.56452821, -5.56705935, -5.56452821])
+
+
 class TestBaseGoldens:
     # reference tests/test_base.py:171
     def test_et2dtm(self, body):
