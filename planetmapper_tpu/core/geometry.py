@@ -186,11 +186,17 @@ def ray_ellipsoid_intercept(origin, direction, radii):
     d = direction / radii
     a = jnp.sum(d * d, axis=-1)
     b = jnp.sum(o * d, axis=-1)
-    c = jnp.sum(o * o, axis=-1) - 1.0
-    disc = b * b - a * c
-    found = (disc >= 0.0)
-    sqrt_disc = jnp.sqrt(jnp.where(found, disc, 0.0))
-    s = (-b - sqrt_disc) / a
+    # Recentre on the ray's closest approach to the centre before forming
+    # the discriminant: the naive b^2 - a*c cancels ~2*log10(|o|/|q|)
+    # digits (over 30 for a 100 km moon seen from Earth - pure noise in
+    # f64), while the recentred q = o + t_ca*d only cancels *linearly*,
+    # leaving the discriminant exact to ~1e-9 of the body radius.
+    t_ca = -b / a
+    q = o + t_ca[..., None] * d
+    cq = jnp.sum(q * q, axis=-1) - 1.0
+    disc = -cq / a  # == (b^2 - a c)/a^2 = (sqrt_disc/a)^2
+    found = disc >= 0.0
+    s = t_ca - jnp.sqrt(jnp.where(found, disc, 0.0))
     found = found & (s >= 0.0)
     s = jnp.where(found, s, jnp.nan)
     return s, found

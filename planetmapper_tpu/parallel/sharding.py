@@ -62,7 +62,11 @@ def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..pipeline import DEFAULT_PRECISION, fused_backplanes_fn
+    from ..pipeline import (
+        DEFAULT_PRECISION,
+        _robust_geodetic,
+        fused_backplanes_fn,
+    )
 
     if mesh is None:
         mesh = make_mesh()
@@ -78,6 +82,7 @@ def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
         have_sun=body._engine._pos_s is not None,
         optimize_speed=bool(body._optimize_speed),
         precision=getattr(body, '_pipeline_precision', DEFAULT_PRECISION),
+        robust_geodetic=_robust_geodetic(body),
     )
 
     def wrapped(xy2angular, disc, radii, anchors):

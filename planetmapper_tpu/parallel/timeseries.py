@@ -42,7 +42,11 @@ def backplane_time_series(
     import jax
     import jax.numpy as jnp
 
-    from ..pipeline import DEFAULT_PRECISION, fused_backplanes_fn
+    from ..pipeline import (
+        DEFAULT_PRECISION,
+        _robust_geodetic,
+        fused_backplanes_fn,
+    )
 
     nx, ny = body.get_img_size()
     if nx <= 0 or ny <= 0:
@@ -77,6 +81,7 @@ def backplane_time_series(
             have_sun=body._engine._pos_s is not None,
             optimize_speed=bool(body._optimize_speed),
             precision=precision,
+            robust_geodetic=_robust_geodetic(body),
         )
 
         def single(xy2ang_t, anchors_t, disc, radii):

@@ -240,6 +240,7 @@ def rect_to_geodetic_surface(v, re, f, n_iter: int = 1):
 def fused_backplanes_fn(
     *, positive_west: bool, prograde: bool, have_sun: bool,
     optimize_speed: bool = True, precision: str = 'double',
+    robust_geodetic: bool = False,
 ):
     """
     Build the traced implementation computing all default backplanes.
@@ -250,11 +251,19 @@ def fused_backplanes_fn(
 
     ``precision='double'`` is the straightforward all-float64 pipeline;
     ``'mixed'`` is the TPU-optimised variant (see :func:`_mixed_impl`).
+
+    ``robust_geodetic``: the fast on-surface geodetic conversions assume
+    the intercept point lies on the biaxial (re, rp) spheroid. For
+    TRIAXIAL bodies (middle axis != re, e.g. Amalthea) the point can sit
+    deep inside that spheroid where Bowring-style iterations diverge -
+    set True (``get_fused_pipeline`` does this automatically from the
+    radii) to use the exact nearest-point bisection solve instead.
     """
     if precision == 'mixed':
         return _mixed_impl_fn(
             positive_west=positive_west, prograde=prograde,
             have_sun=have_sun, optimize_speed=optimize_speed,
+            robust_geodetic=robust_geodetic,
         )
     if precision != 'double':
         raise ValueError(f'unknown pipeline precision {precision!r}')
@@ -324,7 +333,14 @@ def fused_backplanes_fn(
         out: dict[str, Any] = {}
 
         # -- lon/lat (graphic + centric) -----------------------------------
-        lon_e, lat_gd, _alt = rect_to_geodetic_surface(spoint, re, flattening)
+        if robust_geodetic:
+            lon_e, lat_gd, _alt = geom.rect_to_geodetic(
+                spoint, re, flattening
+            )
+        else:
+            lon_e, lat_gd, _alt = rect_to_geodetic_surface(
+                spoint, re, flattening
+            )
         lon_graphic = jnp.mod(lon_sign * lon_e / DEG, 360.0)
         out['LON-GRAPHIC'] = jnp.where(found, lon_graphic, jnp.nan)
         out['LAT-GRAPHIC'] = jnp.where(found, lat_gd / DEG, jnp.nan)
@@ -446,9 +462,14 @@ def fused_backplanes_fn(
         )
         near_targvec = _obsvec2targvec_lin(anchors, near)
         limb_surface = geom.radial_surface_point(near_targvec, radii)
-        limb_lon_e, limb_lat, _ = rect_to_geodetic_surface(
-            limb_surface, re, flattening
-        )
+        if robust_geodetic:
+            limb_lon_e, limb_lat, _ = geom.rect_to_geodetic(
+                limb_surface, re, flattening
+            )
+        else:
+            limb_lon_e, limb_lat, _ = rect_to_geodetic_surface(
+                limb_surface, re, flattening
+            )
         out['LIMB-LON-GRAPHIC'] = jnp.mod(lon_sign * limb_lon_e / DEG, 360.0)
         out['LIMB-LAT-GRAPHIC'] = limb_lat / DEG
         out['LIMB-DISTANCE'] = near_dist - jnp.linalg.norm(
@@ -484,7 +505,7 @@ def fused_backplanes_fn(
 
 def _mixed_impl_fn(
     *, positive_west: bool, prograde: bool, have_sun: bool,
-    optimize_speed: bool = True,
+    optimize_speed: bool = True, robust_geodetic: bool = False,
 ):
     """
     TPU-optimised mixed-precision pipeline.
@@ -708,23 +729,30 @@ def _mixed_impl_fn(
         # rounding of the atan2 arguments moves the angle by ~1e-5 deg,
         # 4x inside the 5e-5 deg contract (and an f64 atan2 costs ~13x an
         # f32 one on TPU). Reduced latitude trig-free (tan(beta) =
-        # z / (rho (1-f))); one Bowring step absorbs the tiny off-spheroid
-        # offsets of triaxial bodies.
+        # z / (rho (1-f))); one Bowring step absorbs rounding-level
+        # off-spheroid offsets. Strongly triaxial bodies put the surface
+        # point deep inside the biaxial spheroid where this diverges -
+        # they take the exact nearest-point solve instead (f64, rare).
         px32 = px.astype(f32)
         py32 = py.astype(f32)
         pz32 = pz.astype(f32)
         rho32 = jnp.sqrt(px32 * px32 + py32 * py32)
         omf_l = omf.astype(f32)
-        w32 = rho32 * omf_l
-        rb32 = lax.rsqrt(pz32 * pz32 + w32 * w32)
-        sin_b = pz32 * rb32
-        cos_b = w32 * rb32
-        lat_gd = jnp.arctan2(
-            pz32 + ep2.astype(f32) * (re.astype(f32) * omf_l)
-            * sin_b * sin_b * sin_b,
-            rho32 - e2.astype(f32) * re.astype(f32)
-            * cos_b * cos_b * cos_b,
-        ).astype(jnp.float64)
+        if robust_geodetic:
+            _lon_unused, lat_gd, _alt_unused = geom.rect_to_geodetic(
+                spoint, re, flattening
+            )
+        else:
+            w32 = rho32 * omf_l
+            rb32 = lax.rsqrt(pz32 * pz32 + w32 * w32)
+            sin_b = pz32 * rb32
+            cos_b = w32 * rb32
+            lat_gd = jnp.arctan2(
+                pz32 + ep2.astype(f32) * (re.astype(f32) * omf_l)
+                * sin_b * sin_b * sin_b,
+                rho32 - e2.astype(f32) * re.astype(f32)
+                * cos_b * cos_b * cos_b,
+            ).astype(jnp.float64)
         lon_graphic = _mod360(lon_sign * lon_e * (1.0 / DEG))
         out['LON-GRAPHIC'] = jnp.where(found, lon_graphic, jnp.nan)
         out['LAT-GRAPHIC'] = jnp.where(found, lat_gd * (1.0 / DEG), jnp.nan)
@@ -945,15 +973,20 @@ def _mixed_impl_fn(
         lz = near32[..., 2] * scale32
         lrho = jnp.sqrt(lx * lx + ly * ly)
         limb_lon_e = jnp.arctan2(ly, lx).astype(jnp.float64)
-        lw = lrho * omf_l
-        lrb = lax.rsqrt(lz * lz + lw * lw)
-        lsb = lz * lrb
-        lcb = lw * lrb
-        limb_lat = jnp.arctan2(
-            lz + ep2.astype(f32) * (re.astype(f32) * omf_l)
-            * lsb * lsb * lsb,
-            lrho - e2.astype(f32) * re.astype(f32) * lcb * lcb * lcb,
-        ).astype(jnp.float64)
+        if robust_geodetic:
+            _lon_u, limb_lat, _alt_u = geom.rect_to_geodetic(
+                near_targvec * scale_l[..., None], re, flattening
+            )
+        else:
+            lw = lrho * omf_l
+            lrb = lax.rsqrt(lz * lz + lw * lw)
+            lsb = lz * lrb
+            lcb = lw * lrb
+            limb_lat = jnp.arctan2(
+                lz + ep2.astype(f32) * (re.astype(f32) * omf_l)
+                * lsb * lsb * lsb,
+                lrho - e2.astype(f32) * re.astype(f32) * lcb * lcb * lcb,
+            ).astype(jnp.float64)
         out['LIMB-LON-GRAPHIC'] = _mod360(lon_sign * limb_lon_e * (1.0 / DEG))
         out['LIMB-LAT-GRAPHIC'] = limb_lat * (1.0 / DEG)
         # |A| - |B| as (|A|^2 - |B|^2)/(|A| + |B|): the squared norms are
@@ -1189,6 +1222,17 @@ def _bucket_size(n: int) -> int:
     return -(-n // 1024) * 1024
 
 
+def _robust_geodetic(body) -> bool:
+    """
+    True when the body is triaxial (middle axis != re): surface points of
+    the triaxial intercept ellipsoid then sit deep inside the biaxial
+    (re, rp) geodetic spheroid, where the fast on-surface conversions
+    diverge and the exact nearest-point solve must be used.
+    """
+    radii_host = np.asarray(body.radii, dtype=float)
+    return bool(abs(radii_host[0] - radii_host[1]) > 1e-9 * radii_host[0])
+
+
 def get_fused_pipeline(body, nx: int, ny: int):
     """
     Jitted fused pipeline for a body's configuration and image size.
@@ -1205,12 +1249,13 @@ def get_fused_pipeline(body, nx: int, ny: int):
     nx_b = _bucket_size(nx)
     tiled = ny > 4 * band_rows
     ny_b = -(-ny // band_rows) * band_rows if tiled else _bucket_size(ny)
+    robust_geodetic = _robust_geodetic(body)
     key = (
         body.target_body_id, body._observer_body_id,
         body.aberration_correction, body.positive_longitude_direction,
         body.prograde, body._engine._pos_s is not None,
         bool(body._optimize_speed), nx_b, ny_b, precision,
-        _lst_quantization(),
+        _lst_quantization(), robust_geodetic,
     )
     fn = _PIPELINE_CACHE.get(key)
     if fn is None:
@@ -1220,6 +1265,7 @@ def get_fused_pipeline(body, nx: int, ny: int):
             have_sun=body._engine._pos_s is not None,
             optimize_speed=bool(body._optimize_speed),
             precision=precision,
+            robust_geodetic=robust_geodetic,
         )
 
         # Row-band tiling: mapping the per-pixel program over bands keeps
