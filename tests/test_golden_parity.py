@@ -364,6 +364,43 @@ class TestOcclusionGoldens:
         assert np.allclose(dec, [-5.56452821, -5.56705935, -5.56452821])
 
 
+class TestSmallBodyConsistency:
+    """
+    Physical self-consistency on a small triaxial fast-rotator (Amalthea)
+    - the regime where naive formulations lose all precision (the
+    intercept discriminant cancels ~30 digits, Bowring geodesy diverges).
+    """
+
+    @pytest.fixture(scope='class')
+    def moon(self):
+        return Body('Amalthea', utc='2005-01-01 04:00:00')
+
+    def test_intercept_roundtrip(self, moon):
+        # radec -> surface lonlat -> radec closes to ~1e-6 deg (the
+        # residual of the per-point light-time retargeting between the
+        # forward sincpt and inverse targvec2obsvec models - three orders
+        # inside the sub-millidegree contract)
+        ra0, dec0 = moon.target_ra, moon.target_dec
+        lon, lat = moon.radec2lonlat(ra0, dec0)
+        assert np.isfinite(lon)
+        ra1, dec1 = moon.lonlat2radec(lon, lat)
+        assert abs(ra1 - ra0) < 5e-6 and abs(dec1 - dec0) < 5e-6
+
+    def test_limb_consistent_with_intercept(self, moon):
+        # The limb curve (limbpt machinery) must agree with the surface
+        # intercept (sincpt machinery): rays nudged 2% of the disc radius
+        # inside each limb point hit the surface, rays nudged outside
+        # miss. End-to-end through independent code paths.
+        ra_limb, dec_limb = moon.limb_radec(npts=8)
+        ra_c, dec_c = moon.target_ra, moon.target_dec
+        for ra, dec in zip(ra_limb[:-1], dec_limb[:-1]):
+            for eps, expect_hit in ((0.02, True), (-0.02, False)):
+                ra_t = ra + eps * (ra_c - ra)
+                dec_t = dec + eps * (dec_c - dec)
+                lon, lat = moon.radec2lonlat(ra_t, dec_t)
+                assert np.isfinite(lon) == expect_hit, (ra, dec, eps)
+
+
 class TestBaseGoldens:
     # reference tests/test_base.py:171
     def test_et2dtm(self, body):
