@@ -2,14 +2,16 @@
 """
 Quickstart tour of planetmapper_tpu's Python API.
 
-Runs entirely against the small SPICE kernels committed with the test
-suite, so it works offline:
+Needs SPICE kernels covering Jupiter/Saturn around 2000-2005. Point
+``PLANETMAPPER_KERNEL_PATH`` at any kernel directory (see
+``planetmapper_tpu.kernel_downloader`` to fetch generic kernels from
+NAIF); the small real kernel excerpts in a planetmapper reference
+checkout's ``tests/data/kernels`` are enough and work offline:
 
-    PLANETMAPPER_KERNEL_PATH=/path/to/tests/data/kernels python quickstart.py
+    PLANETMAPPER_KERNEL_PATH=/path/to/kernels python quickstart.py
 
-For real work, point ``PLANETMAPPER_KERNEL_PATH`` at a directory of
-generic kernels (see ``planetmapper_tpu.kernel_downloader`` to fetch them
-from NAIF).
+The default below matches this repository's test setup (the reference
+checkout mounted as a sibling directory).
 """
 
 import os

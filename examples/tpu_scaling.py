@@ -12,6 +12,9 @@ Works anywhere: with no TPU it runs on a virtual CPU mesh -
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     JAX_PLATFORMS=cpu python tpu_scaling.py
+
+Kernels: see examples/quickstart.py (set PLANETMAPPER_KERNEL_PATH; the
+default matches this repository's test setup).
 """
 
 import os

@@ -441,6 +441,10 @@ class SpiceBase:
         return self._progress_hook
 
     def _remove_progress_hook(self) -> None:
+        hook = self._progress_hook
+        close = getattr(hook, 'close', None)
+        if close is not None:
+            close()  # never leak an open progress bar
         self._progress_hook = None
         self._progress_call_stack = []
 

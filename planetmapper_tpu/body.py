@@ -92,6 +92,31 @@ class LonLatGridKwargs(TypedDict, total=False):
 
 # Default formatting for wireframe plots (same component set and defaults as
 # the reference, body.py:104-137; defined here, used by _body_plotting).
+def _host_unit_from_radec(ra, dec):
+    """
+    Unit vector(s) from RA/Dec radians, in host numpy. The scalar API's
+    coordinate transforms must invert each other exactly: device (TPU)
+    f64 transcendentals round at ~1e-9 rad (~km on the target plane), so
+    every host-side radec/rect conversion goes through this pair.
+    """
+    cos_dec = np.cos(dec)
+    return np.stack(
+        [np.cos(ra) * cos_dec, np.sin(ra) * cos_dec, np.sin(dec)],
+        axis=-1,
+    )
+
+
+def _host_radec_from_unit(v):
+    """Inverse of :func:`_host_unit_from_radec`: ``(r, ra, dec)`` radians."""
+    r = np.linalg.norm(v, axis=-1)
+    ra = np.mod(np.arctan2(v[..., 1], v[..., 0]), 2.0 * np.pi)
+    with np.errstate(invalid='ignore'):
+        dec = np.arcsin(
+            np.clip(v[..., 2] / np.where(r > 0, r, 1.0), -1.0, 1.0)
+        )
+    return r, ra, dec
+
+
 def _default_wireframe_formatting():
     import matplotlib.patheffects as path_effects
 
@@ -678,15 +703,7 @@ class Body(BodyBase):
     def _radec2obsvec_norm_radians(self, ra, dec) -> np.ndarray:
         ra = np.asarray(ra, dtype=float)
         dec = np.asarray(dec, dtype=float)
-        # host numpy trig: these scalar/small-array transforms must invert
-        # their numpy counterparts exactly - device (TPU) f64
-        # transcendentals round at ~1e-9 rad, which is ~km on the target
-        # plane and breaks radec<->km/angular round trips
-        cos_dec = np.cos(dec)
-        out = np.stack(
-            [np.cos(ra) * cos_dec, np.sin(ra) * cos_dec, np.sin(dec)],
-            axis=-1,
-        )
+        out = _host_unit_from_radec(ra, dec)
         bad = ~(np.isfinite(ra) & np.isfinite(dec))
         if np.any(bad):
             out = np.where(np.asarray(bad)[..., None], np.nan, out)
@@ -861,12 +878,9 @@ class Body(BodyBase):
         origin_obsvec = self._radec2obsvec_norm_radians(
             *self._degree_pair2radians(origin_ra, origin_dec)
         )
-        from .core.scene import _host_device
-
-        with _host_device():  # see _lonlat2targvec_radians
-            _, ra_angle, _ = geom.rect_to_radec(np.asarray(origin_obsvec))
-            ra_matrix = _spice_rotate(float(ra_angle), 3)
-            _, _, dec_angle = geom.rect_to_radec(ra_matrix @ origin_obsvec)
+        _, ra_angle, _ = _host_radec_from_unit(np.asarray(origin_obsvec))
+        ra_matrix = _spice_rotate(float(ra_angle), 3)
+        _, _, dec_angle = _host_radec_from_unit(ra_matrix @ origin_obsvec)
         dec_matrix = _spice_rotate(-float(dec_angle), 2)
         rotation_matrix = _spice_rotate(np.deg2rad(coordinate_rotation), 1)
         return rotation_matrix @ dec_matrix @ ra_matrix
@@ -875,13 +889,7 @@ class Body(BodyBase):
         obsvec = np.asarray(obsvec, dtype=float)
         m = self._get_obsvec2angular_matrix(**angular_kwargs)
         vec = obsvec @ m.T
-        # host numpy trig (see _radec2obsvec_norm_radians)
-        r = np.linalg.norm(vec, axis=-1)
-        x_rad = np.mod(np.arctan2(vec[..., 1], vec[..., 0]), 2.0 * np.pi)
-        with np.errstate(invalid='ignore'):
-            y_rad = np.arcsin(
-                np.clip(vec[..., 2] / np.where(r > 0, r, 1.0), -1.0, 1.0)
-            )
+        _r, x_rad, y_rad = _host_radec_from_unit(vec)
         x = np.mod(-np.rad2deg(np.asarray(x_rad)), 360.0)
         x = np.where(x > 180.0, x - 360.0, x)
         y = np.rad2deg(np.asarray(y_rad))
@@ -895,13 +903,9 @@ class Body(BodyBase):
     def _angular2obsvec_norm(self, angular_x, angular_y, **angular_kwargs):
         angular_x = np.asarray(angular_x, dtype=float)
         angular_y = np.asarray(angular_y, dtype=float)
-        # host numpy trig (see _radec2obsvec_norm_radians)
-        ra = -np.deg2rad(angular_x / 3600.0)
-        dec = np.deg2rad(angular_y / 3600.0)
-        cos_dec = np.cos(dec)
-        vec = np.stack(
-            [np.cos(ra) * cos_dec, np.sin(ra) * cos_dec, np.sin(dec)],
-            axis=-1,
+        vec = _host_unit_from_radec(
+            -np.deg2rad(angular_x / 3600.0),
+            np.deg2rad(angular_y / 3600.0),
         )
         m = self._get_obsvec2angular_matrix(**angular_kwargs)
         return vec @ m  # (M^T @ v)^T = v @ M

@@ -697,8 +697,14 @@ class BodyXY(Body):
             interpolation = spline_k[interpolation]  # type: ignore[assignment]
 
         if img.ndim == 3 and not (
-            use_device and isinstance(interpolation, (int, tuple))
+            use_device
+            and (
+                isinstance(interpolation, (int, tuple))
+                or interpolation == 'nearest'
+            )
         ):
+            # host-evaluated modes only ('smooth', or device disabled):
+            # per-frame fallback loop (always numpy output)
             return np.array(
                 [
                     self.map_img(

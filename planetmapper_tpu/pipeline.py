@@ -1256,6 +1256,8 @@ def get_fused_pipeline(body, nx: int, ny: int):
         body.prograde, body._engine._pos_s is not None,
         bool(body._optimize_speed), nx_b, ny_b, precision,
         _lst_quantization(), robust_geodetic,
+        os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2'),
+        band_rows,
     )
     fn = _PIPELINE_CACHE.get(key)
     if fn is None:
@@ -1334,7 +1336,14 @@ def compute_backplanes_batch(
         body._stable_cache['pipeline anchors (device)'] = anchors
     fn = get_fused_pipeline(body, nx, ny)
 
-    cache_key = ('pipeline batch fn', nx, ny)
+    cache_key = (
+        'pipeline batch fn', nx, ny,
+        getattr(body, '_pipeline_precision', DEFAULT_PRECISION),
+        _robust_geodetic(body), _lst_quantization(),
+        bool(body._optimize_speed),
+        os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2'),
+        os.environ.get('PLANETMAPPER_TPU_BAND_ROWS', '256'),
+    )
     batch_fn = body._stable_cache.get(cache_key)
     if batch_fn is None:
         def run_batch(xy2a_b, disc_b, radii, anchors):

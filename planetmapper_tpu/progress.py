@@ -153,7 +153,11 @@ class WeightedProgressHook:
 
     def __call__(self, progress: float, stack: list[str]) -> None:
         for name in reversed(stack):
+            # progress_decorator pushes qualified names
+            # ('BodyXY._get_targvec_img'); part keys may be bare
             part = self.parts.get(name)
+            if part is None and '.' in name:
+                part = self.parts.get(name.rsplit('.', 1)[-1])
             if part is not None:
                 part.progress = max(part.progress, progress)
                 break
@@ -212,7 +216,19 @@ class _SaveProgressHookCLI(WeightedProgressHook):
         if overall > self._shown:
             self.update_bar((overall - self._shown) / 100)
             self._shown = overall
-        if overall >= 100:
+        # The outermost frame is the save routine itself: when it reports
+        # completion, force the bar to 100% and close - parts that never
+        # ran (skipped backplanes) must not leak an open bar
+        if overall >= 100 or (
+            len(stack) == 1 and progress >= 1.0
+        ):
+            self.close()
+
+    def close(self) -> None:
+        if not self.bar.disable:
+            if self._shown < 100:
+                self.bar.update(100 - self._shown)
+                self._shown = 100.0
             self.bar.close()
 
 

@@ -131,10 +131,23 @@ class TestProgress:
         ):
             assert hook.get_description().startswith('Saving')
             for name, part in hook.parts.items():
-                hook(0.5, [name])
-                hook(1.0, [name])
+                # the real decorator pushes QUALIFIED names; part keys
+                # are bare - matching must handle both
+                stack = ['Observation.save_observation', f'BodyXY.{name}']
+                hook(0.5, stack)
+                hook(1.0, stack)
             assert hook.overall_progress() == pytest.approx(1.0)
             assert hook.bar.n == pytest.approx(100, abs=1)
+
+    def test_save_progress_closes_on_outer_completion(self):
+        # Skipped backplanes leave parts at 0, but the save routine's own
+        # final 1.0 event must still drive the bar to 100% and close it
+        hook = progress.SaveNavProgressHookCLI()
+        hook(0.5, ['Observation.save_observation',
+                   'BodyXY._get_targvec_img'])
+        hook(1.0, ['Observation.save_observation'])
+        assert hook.bar.n == pytest.approx(100, abs=1)
+        assert hook.bar.disable  # closed
 
     def test_save_map_hook_scales_with_wavelengths(self):
         small = progress.SaveMapProgressHookCLI(1)
