@@ -60,7 +60,15 @@ def _default_cache_dir() -> str:
     import hashlib
     import platform
 
-    key = f'{jax.__version__}-{platform.node()}-{platform.machine()}'
+    # The platform set matters too: sessions using a remote compile
+    # service (e.g. the axon TPU plugin) store CPU AOT entries compiled
+    # on the REMOTE machine's microarchitecture - those must not be
+    # shared with locally-compiling CPU sessions on the same host.
+    key = (
+        f'{jax.__version__}-{platform.node()}-{platform.machine()}'
+        f"-{_os.environ.get('JAX_PLATFORMS', '')}"
+        f"-{_os.environ.get('PALLAS_AXON_REMOTE_COMPILE', '')}"
+    )
     try:
         with open('/proc/cpuinfo') as f:
             for line in f:

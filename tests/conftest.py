@@ -16,6 +16,18 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+import planetmapper_tpu  # noqa: E402  (configures the compile cache)
+
+# The package keyed its persistent cache dir off the JAX_PLATFORMS env
+# var; this process FORCES cpu after import, so give it a cpu-specific
+# dir - entries AOT-compiled by a remote compile service for another
+# microarchitecture must never be loaded into locally-executing CPU
+# programs (SIGILL risk).
+_dir = jax.config.jax_compilation_cache_dir
+if _dir:
+    os.makedirs(_dir + '-cpuforce', exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _dir + '-cpuforce')
+
 import pytest  # noqa: E402
 
 

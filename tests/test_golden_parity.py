@@ -323,6 +323,107 @@ class TestGeometryGoldens:
         assert np.isclose(body2.north_pole_angle(), 13.550583134129457)
 
 
+class TestSurfaceVectorGoldens:
+    # reference tests/test_body.py:985
+    def test_lonlat2targvec(self, body):
+        pairs = [
+            ((0, 0), [71492.0, 0.0, 0.0]),
+            ((123, 45), [-28439.90450754, -43793.6125254, 45662.45633365]),
+            ((-80, -12.3456789),
+             [12162.32647743, 68975.98103572, -13405.21131042]),
+            ((nan, nan), [nan, nan, nan]),
+            ((np.inf, np.inf), [nan, nan, nan]),
+        ]
+        for (lon, lat), tv in pairs:
+            assert np.allclose(
+                body.lonlat2targvec(lon, lat), tv, equal_nan=True
+            ), (lon, lat)
+        alts = [
+            ((42, 23.4, 0),
+             [49249.33355035, -44344.29910771, 25077.9757777]),
+            ((42, 23.4, -123.456),
+             [49165.13352119, -44268.48506093, 25028.94548771]),
+            ((42, 23.4, 1234.567),
+             [50091.3386161, -45102.44387423, 25568.2814576]),
+        ]
+        for (lon, lat, alt), tv in alts:
+            assert np.allclose(
+                body.lonlat2targvec(lon, lat, alt=alt), tv
+            ), (lon, lat, alt)
+
+    # reference tests/test_body.py:1027
+    def test_targvec2lonlat(self, body):
+        pairs = [
+            ([0, 0, 0], (0.0, 90.0)),
+            ([1, 2, 3], (296.565051177078, 89.98665551067639)),
+            ([-9876, 543210, 0], (268.9584308375042, 0.0)),
+            ([nan, nan, nan], (nan, nan)),
+        ]
+        for tv, lonlat in pairs:
+            assert np.allclose(
+                body.targvec2lonlat(np.array(tv, float)), lonlat,
+                equal_nan=True,
+            ), tv
+        # alt shifts latitude of interior points only slightly
+        assert np.allclose(
+            body.targvec2lonlat(np.array([1.0, 2, 3]), alt=-123.45),
+            (296.565051177078, 89.98665633798927),
+        )
+        assert np.allclose(
+            body.targvec2lonlat(np.array([1.0, 2, 3]), alt=987654321),
+            (296.565051177078, 89.98619280529013),
+        )
+
+    # reference tests/test_body.py:1142
+    def test_angular_lonlat(self, body):
+        cases = [
+            ((0, 0), {}, (153.12351859061235, -3.0887371240013572)),
+            ((1.234, 5.678), {}, (141.76181779277195, 14.187903497915688)),
+            ((-3600.1234, 45678), {}, (nan, nan)),
+            ((1.234, 5.678), {'coordinate_rotation': 123},
+             (146.10317442767905, -23.08048248991215)),
+            ((1.234, 5.678),
+             {'origin_ra': 196.372, 'origin_dec': -5.566},
+             (143.01960641488623, 11.717675615612585)),
+            ((1.234, 0.678),
+             {'origin_ra': 196.372, 'origin_dec': -5.566,
+              'coordinate_rotation': -123},
+             (156.98171972231182, -1.4107148298315533)),
+        ]
+        for (x, y), kw, lonlat in cases:
+            got = body.angular2lonlat(x, y, **kw)
+            assert np.allclose(
+                got, lonlat, equal_nan=True, atol=1e-3
+            ), (x, y, kw, got)
+            if np.isfinite(lonlat[0]):
+                assert np.allclose(
+                    body.lonlat2angular(*lonlat, **kw), (x, y), atol=1e-4
+                ), (x, y, kw)
+
+    # reference tests/test_body.py:1935
+    def test_terminator_lonlat(self, body):
+        lon, lat = body.terminator_lonlat(npts=5)
+        assert np.allclose(
+            lon,
+            [163.44532164, 252.60875833, 257.26193719, 69.62871003,
+             74.2818866, 163.44532164],
+        )
+        assert np.allclose(
+            lat,
+            [87.66650962, 20.36259847, -57.48337047, -57.48337047,
+             20.36259847, 87.66650962],
+        )
+        lon, lat = body.terminator_lonlat(npts=5, only_visible=True)
+        assert np.allclose(
+            lon, [nan, nan, nan, 69.62871003, 74.2818866, nan],
+            equal_nan=True,
+        )
+        assert np.allclose(
+            lat, [nan, nan, nan, -57.48337047, 20.36259847, nan],
+            equal_nan=True,
+        )
+
+
 class TestOcclusionGoldens:
     # reference tests/test_body.py:1790
     def test_other_body_los_intercept(self):
@@ -523,6 +624,27 @@ class TestBodyXYGoldens:
         assert np.allclose(
             y, [nan, 2.86248741, 11.45672546, 13.13660032, nan],
             equal_nan=True,
+        )
+
+    # reference tests/test_body_xy.py:1990 (byte-exact string contract)
+    def test_create_proj_string(self, body_xy):
+        assert body_xy.create_proj_string('ortho') == (
+            '+proj=ortho +a=71492.0 +b=66854.0 +axis=wnu +type=crs'
+        )
+        assert body_xy.create_proj_string('ortho', axis=None) == (
+            '+proj=ortho +a=71492.0 +b=66854.0 +type=crs'
+        )
+        assert body_xy.create_proj_string('ortho', a=None, axis=None) == (
+            '+proj=ortho +b=66854.0 +type=crs'
+        )
+        assert body_xy.create_proj_string('ortho', axis='123') == (
+            '+proj=ortho +axis=123 +a=71492.0 +b=66854.0 +type=crs'
+        )
+        assert body_xy.create_proj_string(
+            'eqc', string='a_string', number=123, lat_0=-1.234
+        ) == (
+            '+proj=eqc +string=a_string +number=123 +lat_0=-1.234 '
+            '+a=71492.0 +b=66854.0 +axis=wnu +type=crs'
         )
 
     # reference tests/test_body_xy.py:2120
