@@ -626,6 +626,62 @@ class TestBodyXYGoldens:
             equal_nan=True,
         )
 
+    # reference tests/test_body_xy.py:267 (cross-system conversion table)
+    def test_xy_conversion_table(self, body_xy):
+        coordinates = [
+            [(0, 0),
+             (196.3684350770821, -5.581107015413806),
+             (nan, nan),
+             (-43515.54503863168, -220566.4464649765),
+             (12.721709080506116, -55.12740601573759)],
+            [(5, 8),
+             (196.37198562427025, -5.565793847134351),
+             (153.1235185909613, -3.0887371238645795),
+             (0.0, 0.0), (0.0, 0.0)],
+            [(4.1, 7.1),
+             (196.37198562427025, -5.567914131973045),
+             (164.3872136538264, -28.87847195832716),
+             (-12411.924521414994, -27675.679236383432),
+             (0.0, -7.633025448335383)],
+            [(1.234, 5.678),
+             (196.37369462098349, -5.572965121633222),
+             (nan, nan),
+             (-64181.931835415264, -83648.1756567178),
+             (-6.1233826374518685, -25.81658829413859)],
+            [(7.9, 5.1),
+             (196.36512123303984, -5.565793847134351),
+             (nan, nan),
+             (89177.18865054459, -39993.979013437434),
+             (24.59530422240732, 0.0)],
+        ]
+        body_xy.set_disc_params(5, 8, 3, 45)
+        try:
+            for xy, radec, lonlat, km, angular in coordinates:
+                assert np.allclose(
+                    body_xy.xy2radec(*xy), radec, equal_nan=True
+                ), xy
+                assert np.allclose(
+                    body_xy.xy2lonlat(*xy), lonlat, equal_nan=True,
+                    atol=1e-3,
+                ), xy
+                assert np.allclose(
+                    body_xy.xy2km(*xy), km, equal_nan=True, atol=1e-1
+                ), xy
+                assert np.allclose(
+                    body_xy.xy2angular(*xy), angular, equal_nan=True,
+                    atol=1e-4,
+                ), xy
+                assert np.allclose(
+                    body_xy.radec2xy(*radec), xy, atol=1e-3
+                ), xy
+                if not any(np.isnan(lonlat)):
+                    assert np.allclose(
+                        body_xy.lonlat2xy(*lonlat), xy, atol=1e-3
+                    ), xy
+                assert np.allclose(body_xy.km2xy(*km), xy, atol=1e-3), xy
+        finally:
+            body_xy.set_disc_params(5, 8, 10, 45)
+
     # reference tests/test_body_xy.py:1990 (byte-exact string contract)
     def test_create_proj_string(self, body_xy):
         assert body_xy.create_proj_string('ortho') == (
