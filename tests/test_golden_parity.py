@@ -302,6 +302,53 @@ class TestGeometryGoldens:
         assert np.allclose(ra, [196.37390736, 196.37487476, 196.36707757])
         assert np.allclose(dec, [-5.56152901, -5.56977427, -5.56629386])
 
+    # reference tests/test_body.py:1658
+    def test_limb_radec_by_illumination(self, body):
+        ra_day, dec_day, ra_night, dec_night = (
+            body.limb_radec_by_illumination(npts=5)
+        )
+        assert np.allclose(
+            ra_day,
+            [196.37390736, 196.37694412, 196.37297113, nan, nan,
+             196.37390736],
+            equal_nan=True,
+        )
+        assert np.allclose(
+            dec_day,
+            [-5.56152901, -5.56632605, -5.57047072, nan, nan, -5.56152901],
+            equal_nan=True,
+        )
+        assert np.allclose(
+            ra_night, [nan, nan, nan, 196.36782109, 196.36828846, nan],
+            equal_nan=True,
+        )
+        assert np.allclose(
+            dec_night, [nan, nan, nan, -5.56817191, -5.56246245, nan],
+            equal_nan=True,
+        )
+
+    # reference tests/test_body.py:2107 (first rows of the grid contract)
+    def test_visible_lonlat_grid_radec(self, body):
+        grid = body.visible_lonlat_grid_radec(interval=45, npts=5)
+        ra0, dec0 = grid[0]
+        assert np.allclose(
+            ra0, [196.3700663, nan, nan, nan, nan], equal_nan=True
+        )
+        assert np.allclose(
+            dec0, [-5.57005326, nan, nan, nan, nan], equal_nan=True
+        )
+        ra2, dec2 = grid[2]
+        assert np.allclose(
+            ra2,
+            [196.3700663, 196.36772166, 196.36794262, 196.37034361, nan],
+            equal_nan=True,
+        )
+        assert np.allclose(
+            dec2,
+            [-5.57005326, -5.56729981, -5.56387245, -5.56148116, nan],
+            equal_nan=True,
+        )
+
     # reference tests/test_body.py:1624
     def test_limb_lonlat(self, body):
         lon, lat = body.limb_lonlat(npts=5)
