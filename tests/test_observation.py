@@ -35,17 +35,17 @@ def observation():
 
 
 def compare_fits_to_reference(
-    path: str, reference_name: str, *, atol=2e-5, rtol=1e-5,
+    path: str, reference_name: str, *, atol=1e-6, rtol=1e-5,
 ):
     """
     HDU-by-HDU comparison mirroring the reference test's
     ``compare_fits_to_reference`` (test_observation.py:1203-1260), with
     WIREFRAME skipped (matplotlib raster, environment sensitive).
 
-    Tolerance notes: the reference's own test uses atol=1e-6 + rtol=1e-5;
-    the slightly looser atol=2e-5 here absorbs the ~20 m difference between
-    this framework's independent SGP4 implementation and CSPICE's for the
-    HST observer (e.g. mm-to-m level offsets in km-valued backplanes).
+    Tolerance notes: atol=1e-6 + rtol=1e-5 are the reference's own values
+    (its test_observation.py:1203-1260). The independent SGP4 + TEME
+    implementation places the HST observer within ~10 cm of CSPICE's
+    EV2LIN for these epochs, so no extra slack is needed.
     Longitude planes are compared with circular difference, ignoring cells
     at the poles where longitude is undefined (projection libraries return
     arbitrary-but-different values there).
