@@ -157,3 +157,195 @@ class TestEphemeris:
         # speed of a circular orbit at that radius ~ 26.5 km/s
         v = np.linalg.norm(state[3:])
         assert 20.0 < v < 35.0
+
+
+class TestSgp4:
+    """
+    SGP4/SDP4 propagation against the published Spacetrack Report #3 test
+    cases (the same algorithm pair CSPICE applies to SPK type 10 via
+    EV2LIN/DPSPCE; reference consumption path: planetmapper/base.py:828).
+    States below are TEME km / km/s from the report's verification tables;
+    the original values were produced with single-precision arithmetic, so
+    comparisons carry a few-metre tolerance.
+    """
+
+    # WGS-72 ("old") geophysical constants, as in STR#3 and the committed
+    # HST kernel
+    CONSTANTS = np.array([
+        1.082616e-3, -2.53881e-6, -1.65597e-6,
+        0.0743669161, 120.0, 78.0, 6378.135, 1.0,
+    ])
+
+    @staticmethod
+    def _tle_epoch_to_et(yy_doy: float) -> float:
+        """TLE YYDDD.ddd epoch -> seconds past J2000 (epoch convention of
+        the type 10 packets; UTC-as-TDB, consistent with the evaluator)."""
+        import datetime
+
+        yy = int(yy_doy // 1000)
+        doy = yy_doy - yy * 1000
+        year = 1900 + yy if yy >= 57 else 2000 + yy
+        offset = datetime.datetime(year, 1, 1) - datetime.datetime(
+            2000, 1, 1, 12
+        )
+        return offset.total_seconds() + (doy - 1.0) * 86400.0
+
+    @classmethod
+    def _packet(cls, epoch_yydoy, bstar, incl_deg, node_deg, ecc,
+                argp_deg, m_deg, n_revday):
+        deg = math.pi / 180.0
+        return np.array([[
+            0.0, 0.0, bstar, incl_deg * deg, node_deg * deg, ecc,
+            argp_deg * deg, m_deg * deg,
+            n_revday * 2.0 * math.pi / 1440.0,
+            cls._tle_epoch_to_et(epoch_yydoy), 0.0, 0.0, 0.0, 0.0,
+        ]])
+
+    def _propagate(self, packet, t_minutes):
+        from planetmapper_tpu.kernels import sgp4
+
+        params = sgp4.sgp4_init_packets(self.CONSTANTS, packet)
+        c = sgp4.Sgp4Constants(*self.CONSTANTS)
+        et = packet[0, 9] + t_minutes * 60.0
+        return np.asarray(
+            sgp4.sgp4_propagate(c, dict(params), np.array([et]))
+        )[0]
+
+    def test_str3_near_earth_88888(self):
+        # STR#3 SGP4 test: object 88888, epoch 80275.98708465
+        pk = self._packet(
+            80275.98708465, 0.66816e-4, 72.8435, 115.9689, 0.0086731,
+            52.6988, 110.5714, 16.05824518,
+        )
+        s0 = self._propagate(pk, 0.0)
+        np.testing.assert_allclose(
+            s0[:3], [2328.97048951, -5995.22076416, 1719.97067261],
+            rtol=0, atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            s0[3:], [2.91207230, -0.98341546, -7.09081703],
+            rtol=0, atol=5e-6,
+        )
+        s360 = self._propagate(pk, 360.0)
+        np.testing.assert_allclose(
+            s360[:3], [2456.10705566, -6071.93853760, 1222.89727783],
+            rtol=0, atol=5e-3,
+        )
+
+    def test_str3_deep_space_11801(self):
+        # STR#3 SDP4 test: object 11801 (e=0.73 HEO, period ~630 min):
+        # exercises the lunar-solar secular + periodic deep-space terms
+        from planetmapper_tpu.kernels import sgp4
+
+        pk = self._packet(
+            80230.29629788, 0.14311e-1, 46.7916, 230.4354, 0.7318036,
+            47.4722, 10.4117, 2.28537848,
+        )
+        params = sgp4.sgp4_init_packets(self.CONSTANTS, pk)
+        assert params['_has_deep']
+        assert params['deep'][0] == 1.0
+        s0 = self._propagate(pk, 0.0)
+        np.testing.assert_allclose(
+            s0[:3], [7473.37066650, 428.95261765, 5828.74786377],
+            rtol=0, atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            s0[3:], [5.10715413, 6.44468284, -0.18613096],
+            rtol=0, atol=1e-5,
+        )
+        s360 = self._propagate(pk, 360.0)
+        np.testing.assert_allclose(
+            s360[:3], [-3305.22537232, 32410.86328125, -24697.17675781],
+            rtol=0, atol=5e-2,
+        )
+
+    def test_geosynchronous_resonance(self):
+        # 1:1 resonance class (irez=1): a geostationary element set must
+        # classify as synchronous and hold its radius over +-10 days
+        from planetmapper_tpu.kernels import sgp4
+
+        pk = self._packet(
+            95100.5, 0.0, 0.0300, 80.0, 0.0002, 30.0, 200.0, 1.00273790,
+        )
+        params = sgp4.sgp4_init_packets(self.CONSTANTS, pk)
+        assert params['irez'][0] == 1.0
+        for t_days in (-10.0, -1.0, 0.0, 0.5, 3.0, 10.0):
+            s = self._propagate(pk, t_days * 1440.0)
+            r = np.linalg.norm(s[:3])
+            assert 42100.0 < r < 42230.0, (t_days, r)
+
+    def test_molniya_resonance(self):
+        # 2:1 resonance class (irez=2): semi-major axis from vis-viva must
+        # stay at the Molniya value while the resonance integrator runs
+        from planetmapper_tpu.kernels import sgp4
+
+        pk = self._packet(
+            95100.5, 0.0, 63.4, 120.0, 0.700, 270.0, 10.0, 2.0056,
+        )
+        params = sgp4.sgp4_init_packets(self.CONSTANTS, pk)
+        assert params['irez'][0] == 2.0
+        mu = 398600.8
+        for t_days in (-5.0, 0.0, 1.0, 5.0, 20.0):
+            s = self._propagate(pk, t_days * 1440.0)
+            r = np.linalg.norm(s[:3])
+            v = np.linalg.norm(s[3:])
+            a = 1.0 / (2.0 / r - v * v / mu)
+            assert 26400.0 < a < 26700.0, (t_days, a)
+
+    def test_deep_space_jit_vmap(self):
+        # The resonance integrator is a fixed-length masked scan: the whole
+        # deep-space path must trace under jit with batched times
+        import jax
+
+        from planetmapper_tpu.kernels import sgp4
+
+        pk = self._packet(
+            95100.5, 0.0, 0.0300, 80.0, 0.0002, 30.0, 200.0, 1.00273790,
+        )
+        params = sgp4.sgp4_init_packets(self.CONSTANTS, pk)
+        ets = pk[0, 9] + np.linspace(0.0, 86400.0, 16)
+        fn = jax.jit(
+            lambda e: sgp4.tle_state_j2000_at_index(
+                self.CONSTANTS, params, np.zeros(16, dtype=int), e
+            )
+        )
+        out = np.asarray(fn(ets))
+        assert out.shape == (16, 6)
+        assert np.isfinite(out).all()
+        # jit result matches the eager per-time evaluation
+        one = np.asarray(
+            sgp4.tle_state_j2000_at_index(
+                self.CONSTANTS, params, 0, float(ets[3])
+            )
+        )
+        np.testing.assert_allclose(out[3], one, rtol=0, atol=1e-6)
+
+    def test_near_earth_unaffected_by_deep_code(self):
+        # A mixed segment (near-earth packet evaluated through params that
+        # carry deep-space machinery) must produce identical results to a
+        # pure near-earth segment
+        from planetmapper_tpu.kernels import sgp4
+
+        pk_ne = self._packet(
+            80275.98708465, 0.66816e-4, 72.8435, 115.9689, 0.0086731,
+            52.6988, 110.5714, 16.05824518,
+        )
+        pk_deep = self._packet(
+            95100.5, 0.0, 0.0300, 80.0, 0.0002, 30.0, 200.0, 1.00273790,
+        )
+        mixed = np.concatenate([pk_ne, pk_deep])
+        params_mixed = sgp4.sgp4_init_packets(self.CONSTANTS, mixed)
+        params_pure = sgp4.sgp4_init_packets(self.CONSTANTS, pk_ne)
+        assert params_mixed['_has_deep']
+        et = pk_ne[0, 9] + 360.0 * 60.0
+        s_mixed = np.asarray(
+            sgp4.tle_state_j2000_at_index(
+                self.CONSTANTS, params_mixed, 0, et
+            )
+        )
+        s_pure = np.asarray(
+            sgp4.tle_state_j2000_at_index(
+                self.CONSTANTS, params_pure, 0, et
+            )
+        )
+        np.testing.assert_allclose(s_mixed, s_pure, rtol=0, atol=1e-9)
