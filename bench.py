@@ -102,19 +102,34 @@ def bench_map(n_runs: int) -> dict:
     body.get_x_map(**map_kwargs)
     body.get_y_map(**map_kwargs)
 
+    import jax
+
     rng = np.random.default_rng(0)
     out = {}
+    n_stream = max(n_runs * 4, 16)
     for name, interp in (('linear', 'linear'), ('cubic', 'cubic')):
         img = rng.normal(size=(size, size))
         m = body.map_img(img, interpolation=interp, **map_kwargs)
+        jax.block_until_ready(m)  # warm/compile
         assert m.shape == (720, 1440), m.shape
-        times = []
-        for _ in range(n_runs):
-            img = rng.normal(size=(size, size))  # new frame each call
-            t0 = time.time()
-            body.map_img(img, interpolation=interp, **map_kwargs)
-            times.append(time.time() - t0)
-        out[f'map_{name}_ms_per_frame'] = round(min(times) * 1e3, 3)
+        # Default-path per-frame cost: map_img returns device-resident
+        # maps and dispatches asynchronously, so a stream of fresh frames
+        # pipelines (host solve-free: coefficients are solved on device);
+        # block on the final result and amortise.
+        frames = [rng.normal(size=(size, size)) for _ in range(n_stream)]
+        t0 = time.time()
+        for f in frames:
+            m = body.map_img(f, interpolation=interp, **map_kwargs)
+        jax.block_until_ready(m)
+        out[f'map_{name}_ms_per_frame'] = round(
+            (time.time() - t0) / n_stream * 1e3, 3
+        )
+        # single fully-synchronous numpy-returning call (pays one
+        # device->host fetch of the f32 map through the transport)
+        img = rng.normal(size=(size, size))
+        t0 = time.time()
+        body.map_img(img, interpolation=interp, as_numpy=True, **map_kwargs)
+        out[f'map_{name}_sync_ms'] = round((time.time() - t0) * 1e3, 3)
 
     # throughput mode: a cube maps all frames in ONE batched device
     # program, and ``as_numpy=False`` leaves the result on device - this

@@ -672,7 +672,7 @@ class BodyXY(Body):
         spline_smoothing: float = 0,
         smooth_oversample_by: int = 5,
         smooth_max_oversampled_img_size: int = 10_000,
-        as_numpy: bool = True,
+        as_numpy: bool = False,
         **map_kwargs,
     ) -> np.ndarray:
         """
@@ -682,11 +682,17 @@ class BodyXY(Body):
         spline degrees 1-3 ('linear'/'quadratic'/'cubic'), and the
         monotonic PCHIP-based 'smooth' mode).
 
-        ``as_numpy=False`` returns the device array from the
-        device-evaluated interpolation modes without the device->host
-        copy, for pipelines that keep consuming the map on device
-        (ignored - numpy is returned - for the host-evaluated 'smooth'
-        mode and when device evaluation is disabled).
+        The device-evaluated interpolation modes return a **device-resident
+        array by default** (``as_numpy=False``): the call dispatches
+        asynchronously and the device->host copy is deferred until the
+        result is consumed (``np.asarray(m)`` or any numpy op), so a
+        stream of ``map_img`` calls pipelines through the accelerator
+        instead of paying a synchronous round trip per frame. The result
+        supports all read-style numpy usage; code that mutates the result
+        in place should materialise it first (``m = np.asarray(m)``).
+        Pass ``as_numpy=True`` for an eager numpy result. The
+        host-evaluated 'smooth' mode and the no-device fallback always
+        return numpy.
         """
         img = np.asarray(img)
         use_device = os.environ.get(
@@ -728,7 +734,6 @@ class BodyXY(Body):
 
         x_map = np.asarray(self.get_x_map(**map_kwargs))
         y_map = np.asarray(self.get_y_map(**map_kwargs))
-        projected = self._make_empty_map(**map_kwargs)
 
         from .ops import interp
 
@@ -739,6 +744,7 @@ class BodyXY(Body):
                 return interp_device.nearest_interpolation_device(
                     img, x_map, y_map, as_numpy=as_numpy
                 )
+            projected = self._make_empty_map(**map_kwargs)
             interp.nearest_interpolation(img, x_map, y_map, projected)
         elif isinstance(interpolation, (int, tuple)):
             if use_device:
@@ -751,6 +757,7 @@ class BodyXY(Body):
                     spline_smoothing=spline_smoothing,
                     as_numpy=as_numpy,
                 )
+            projected = self._make_empty_map(**map_kwargs)
             interp.spline_interpolation(
                 img, x_map, y_map, projected,
                 interpolation=interpolation, warn_nan=warn_nan,
@@ -758,6 +765,7 @@ class BodyXY(Body):
                 spline_smoothing=spline_smoothing,
             )
         elif interpolation == 'smooth':
+            projected = self._make_empty_map(**map_kwargs)
             interp.smooth_interpolation(
                 img, x_map, y_map, projected,
                 propagate_nan=propagate_nan,

@@ -542,16 +542,20 @@ class Observation(BodyXY):
             # wavelength frame in a single program (shared sample-weight
             # matrices), instead of a per-frame Python loop
             self._update_progress_hook(0.0)
+            # float64 materialisation: the FITS products and the reference
+            # API contract are double precision
             return np.asarray(
                 self.map_img(
                     data,
+                    as_numpy=False,
                     spline_smoothing=spline_smoothing,
                     interpolation=interpolation,
                     propagate_nan=propagate_nan,
                     smooth_oversample_by=smooth_oversample_by,
                     smooth_max_oversampled_img_size=smooth_max_oversampled_img_size,
                     **map_kwargs,
-                )
+                ),
+                dtype=np.float64,
             )
         projected = []
         for idx, img in enumerate(data):

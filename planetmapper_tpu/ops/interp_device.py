@@ -177,25 +177,14 @@ def _weight_matrix(jnp, basis, i, k: int, n_c: int):
 _ONEHOT_MAX_COEFFS = 1024
 
 
-@functools.lru_cache(maxsize=None)
-def _spline_eval_onehot_fn(kx: int, ky: int, batched: bool,
-                           propagate_nan: bool):
+def _make_onehot_eval(kx: int, ky: int, batched: bool,
+                      propagate_nan: bool):
     """
-    Jitted gather-free spline evaluator (MXU formulation).
-
-    The scattered-gather form (``_spline_eval_fn``) costs ~50 gathers of
-    N map samples; XLA:TPU scalarizes those. Here every lookup becomes a
-    one-hot/weighted matmul against the small coefficient grid:
-
-        val[s] = sum_ab By[s,a] Bx[s,b] C[iy(s)-ky+a, ix(s)-kx+b]
-               = rowsum( (Wy @ C) * Wx )
-
-    with Wy/Wx row-sparse (k+1 nonzeros). The 4-neighbour NaN test is the
-    same trick against the NaN-indicator grid. Samples stream in chunks
-    (lax.map) to bound the (chunk, n_c) weight matrices; for cubes the
-    weights are built once per chunk and every frame rides the same pair
-    of matmuls. Matmuls run precision=HIGHEST (bf16 passes would corrupt
-    f32 data values).
+    Build the shared gather-free evaluation body: ``(ty, tx, c2, nanf, y,
+    x, valid) -> flat values`` with ``c2`` the (batched) f32 coefficient
+    grid and ``nanf`` the f32 NaN-indicator grid. Used by both the
+    host-coefficient (`_spline_eval_onehot_fn`) and device-solve
+    (`_spline_solve_eval_fn`) jit programs.
     """
     import jax
     import jax.numpy as jnp
@@ -249,22 +238,20 @@ def _spline_eval_onehot_fn(kx: int, ky: int, batched: bool,
             return jax.vmap(per_frame)(c2, nanf)
         return per_frame(c2, nanf)
 
-    def fn(ty, tx, c, nans, y, x, valid):
+    def eval_all(ty, tx, c2, nanf, y, x, valid):
         ty = ty.astype(jnp.float32)
         tx = tx.astype(jnp.float32)
-        n_cy = ty.shape[0] - ky - 1
-        n_cx = tx.shape[0] - kx - 1
-        c2 = c.astype(jnp.float32).reshape(c.shape[:-1] + (n_cy, n_cx))
-        nanf = nans.astype(jnp.float32)
         y = y.astype(jnp.float32)
         x = x.astype(jnp.float32)
         n = y.shape[0]
+        n_cy = c2.shape[-2]
+        n_cx = c2.shape[-1]
         n_c = max(n_cy, n_cx)
         # ~0.5 GB for the largest (frames, chunk, n_c) intermediate:
         # small grids evaluate in few chunks (lax.map serializes chunks,
         # so fewer/bigger chunks keep the device busy), while cube inputs
         # shrink the chunk so the per-frame row matrices still fit
-        n_frames = c.shape[0] if batched else 1
+        n_frames = c2.shape[0] if batched else 1
         chunk = int(
             min(max(n, 1), max(8192, (1 << 27) // (n_c * n_frames)))
         )
@@ -279,10 +266,147 @@ def _spline_eval_onehot_fn(kx: int, ky: int, batched: bool,
         )
         # lax.map stacks chunks on axis 0; batched frames land on axis 1
         if batched:
-            out = jnp.moveaxis(out, 1, 0).reshape(c.shape[0], -1)
+            out = jnp.moveaxis(out, 1, 0).reshape(c2.shape[0], -1)
         else:
             out = out.reshape(-1)
         return out[..., :n].astype(jnp.float32)
+
+    return eval_all
+
+
+@functools.lru_cache(maxsize=None)
+def _spline_eval_onehot_fn(kx: int, ky: int, batched: bool,
+                           propagate_nan: bool):
+    """
+    Jitted gather-free spline evaluator (MXU formulation).
+
+    The scattered-gather form (``_spline_eval_fn``) costs ~50 gathers of
+    N map samples; XLA:TPU scalarizes those. Here every lookup becomes a
+    one-hot/weighted matmul against the small coefficient grid:
+
+        val[s] = sum_ab By[s,a] Bx[s,b] C[iy(s)-ky+a, ix(s)-kx+b]
+               = rowsum( (Wy @ C) * Wx )
+
+    with Wy/Wx row-sparse (k+1 nonzeros). The 4-neighbour NaN test is the
+    same trick against the NaN-indicator grid. Samples stream in chunks
+    (lax.map) to bound the (chunk, n_c) weight matrices; for cubes the
+    weights are built once per chunk and every frame rides the same pair
+    of matmuls. Matmuls run precision=HIGHEST (bf16 passes would corrupt
+    f32 data values).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    eval_all = _make_onehot_eval(kx, ky, batched, propagate_nan)
+
+    def fn(ty, tx, c, nans, y, x, valid):
+        n_cy = ty.shape[0] - ky - 1
+        n_cx = tx.shape[0] - kx - 1
+        c2 = c.astype(jnp.float32).reshape(c.shape[:-1] + (n_cy, n_cx))
+        nanf = nans.astype(jnp.float32)
+        return eval_all(ty, tx, c2, nanf, y, x, valid)
+
+    return jax.jit(fn)
+
+
+def _infill_device(jnp, frame):
+    """
+    Device replica of the reference's NaN-infill preparation
+    (body_xy.py:1871-1904 / :func:`..interp
+    .replace_nans_with_interpolated_values`): non-finite cells with at
+    least one finite cell in their clipped 3x3 neighbourhood take the
+    neighbourhood nanmean; remaining non-finite cells take the global
+    nanmedian (0 if the frame has no finite cells). Returns ``(cleaned,
+    nan_grid)``.
+    """
+    finite = jnp.isfinite(frame)
+    imgn = jnp.where(finite, frame, jnp.nan)
+    med = jnp.where(jnp.any(finite), jnp.nanmedian(imgn), 0.0)
+    z = jnp.where(finite, frame, 0.0)
+    g = finite.astype(frame.dtype)
+    zp = jnp.pad(z, 1)
+    gp = jnp.pad(g, 1)
+    ny, nx = frame.shape
+    s = jnp.zeros_like(frame)
+    cnt = jnp.zeros_like(frame)
+    for dy in range(3):
+        for dx in range(3):
+            s = s + zp[dy : dy + ny, dx : dx + nx]
+            cnt = cnt + gp[dy : dy + ny, dx : dx + nx]
+    nb_mean = s / jnp.where(cnt > 0, cnt, 1.0)
+    cleaned = jnp.where(
+        finite, frame, jnp.where(cnt > 0, nb_mean, med)
+    )
+    # Propagation mask is the *NaN* grid (reference body_xy.py:1668 uses
+    # np.isnan, so infs are infilled for the solve but not propagated)
+    return cleaned, jnp.isnan(frame)
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_spline_solver(ny: int, nx: int, kx: int, ky: int):
+    """
+    Per-grid staging for the device-resident coefficient solve: FITPACK
+    knots for the s=0 interpolating spline on the regular pixel grid plus
+    the dense inverses of the two 1-D B-spline collocation matrices, kept
+    on device. ``C = Ainv_y @ img @ Ainv_x.T`` then reproduces scipy's
+    ``RectBivariateSpline(s=0)`` coefficients to rounding error, so the
+    per-frame host work and coefficient upload disappear entirely.
+    """
+    import jax.numpy as jnp
+    import scipy.interpolate
+
+    probe = np.zeros((ny, nx))
+    spline = scipy.interpolate.RectBivariateSpline(
+        np.arange(ny), np.arange(nx), probe, kx=ky, ky=kx, s=0
+    )
+    ty, tx = spline.get_knots()
+    ay = scipy.interpolate.BSpline.design_matrix(
+        np.arange(ny, dtype=float), ty, ky, extrapolate=False
+    ).toarray()
+    ax = scipy.interpolate.BSpline.design_matrix(
+        np.arange(nx, dtype=float), tx, kx, extrapolate=False
+    ).toarray()
+    return (
+        jnp.asarray(ty), jnp.asarray(tx),
+        jnp.asarray(np.linalg.inv(ay)), jnp.asarray(np.linalg.inv(ax)),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _spline_solve_eval_fn(kx: int, ky: int, batched: bool,
+                          propagate_nan: bool):
+    """
+    Jitted end-to-end map-reprojection program: NaN infill, collocation
+    solve (two small matmuls against the staged inverses) and the
+    gather-free spline evaluation all happen on device. The only
+    per-frame host->device transfer is the raw image itself, and no host
+    FITPACK solve sits on the per-frame critical path - this is what
+    makes the synchronous single-frame ``map_img`` call fast through a
+    high-latency transport.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    eval_all = _make_onehot_eval(kx, ky, batched, propagate_nan)
+
+    def fn(ty, tx, ainv_y, ainv_x, frames, y, x, valid):
+        def prep(frame):
+            cleaned, nans = _infill_device(jnp, frame)
+            c2 = jnp.matmul(
+                ainv_y,
+                jnp.matmul(
+                    cleaned, ainv_x.T, precision=lax.Precision.HIGHEST
+                ),
+                precision=lax.Precision.HIGHEST,
+            )
+            return c2.astype(jnp.float32), nans.astype(jnp.float32)
+
+        if batched:
+            c2, nanf = jax.vmap(prep)(frames)
+        else:
+            c2, nanf = prep(frames)
+        return eval_all(ty, tx, c2, nanf, y, x, valid)
 
     return jax.jit(fn)
 
@@ -380,6 +504,44 @@ def spline_interpolation_device(
     frames = img if cube else img[None]
     nz = frames.shape[0]
     x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
+
+    ny_i, nx_i = img.shape[-2:]
+    if spline_smoothing == 0 and max(ny_i, nx_i) <= _ONEHOT_MAX_COEFFS:
+        # Fully device-resident path (s=0, the default): NaN infill,
+        # coefficient solve and evaluation in ONE jitted program; the only
+        # per-call upload is the raw frame. The host-FITPACK path below
+        # remains for smoothing (adaptive knots) and very large grids.
+        if warn_nan:
+            for frame in frames:
+                if not np.isfinite(frame).all():
+                    print(
+                        'Warning, image contains NaN values which will '
+                        'be corrected'
+                    )
+        ty, tx, ainv_y, ainv_x = _grid_spline_solver(ny_i, nx_i, kx, ky)
+        fn = _spline_solve_eval_fn(kx, ky, cube, propagate_nan)
+        vals = fn(
+            ty, tx, ainv_y, ainv_x,
+            jnp.asarray(img, dtype=jnp.float64), y_dev, x_dev,
+            valid_dev,
+        )
+        vals = vals.reshape(img.shape[:-2] + x_map.shape)
+        if not propagate_nan:
+            # Host semantics: a frame with no finite values maps to NaN
+            all_nan = np.array(
+                [not np.isfinite(f).any() for f in frames], dtype=bool
+            )
+            if all_nan.any():
+                mask = jnp.asarray(
+                    all_nan if cube else all_nan[0]
+                )
+                vals = jnp.where(
+                    mask[..., None, None] if cube else mask,
+                    jnp.nan, vals,
+                )
+        if as_numpy:
+            return np.asarray(vals)
+        return vals
 
     def pick_eval(ty, tx, batched):
         n_c = max(ty.shape[0] - ky - 1, tx.shape[0] - kx - 1)

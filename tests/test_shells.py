@@ -673,3 +673,107 @@ class TestDeviceInterp:
             np.testing.assert_allclose(
                 out[i], ref, atol=2e-5 + 1e-5 * np.abs(ref).max()
             )
+
+
+class TestDeviceSolveInterp:
+    """
+    The fully device-resident s=0 spline path (NaN infill + collocation
+    solve + evaluation in one program) against the pure-host
+    implementation (``ops.interp``) it replaces on the default path.
+    """
+
+    def _host_reference(self, img, x, y, interpolation, propagate_nan):
+        from planetmapper_tpu.ops import interp
+
+        projected = np.full(x.shape, np.nan)
+        interp.spline_interpolation(
+            img, x, y, projected, interpolation=interpolation,
+            warn_nan=False, propagate_nan=propagate_nan,
+            spline_smoothing=0,
+        )
+        return projected
+
+    @pytest.mark.parametrize('interpolation', [1, 2, 3])
+    @pytest.mark.parametrize('propagate_nan', [True, False])
+    def test_matches_host_with_nans(self, interpolation, propagate_nan):
+        from planetmapper_tpu.ops import interp_device
+
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(21, 17))
+        img[3, 4] = np.nan  # isolated NaN (3x3-mean infill)
+        img[10:14, 6:11] = np.nan  # NaN block (median infill inside)
+        img[0, 0] = np.nan  # corner NaN
+        img[5, 16] = np.inf  # inf treated as NaN
+        x = rng.uniform(-2, 19, 300).reshape(15, 20)
+        y = rng.uniform(-2, 23, 300).reshape(15, 20)
+        out = interp_device.spline_interpolation_device(
+            img, x, y, interpolation=interpolation, warn_nan=False,
+            propagate_nan=propagate_nan, spline_smoothing=0,
+        )
+        ref = self._host_reference(
+            img, x, y, interpolation, propagate_nan
+        )
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        np.testing.assert_allclose(out, ref, atol=2e-5, equal_nan=True)
+
+    def test_infill_matches_host(self):
+        import jax.numpy as jnp
+
+        from planetmapper_tpu.ops import interp, interp_device
+
+        rng = np.random.default_rng(8)
+        img = rng.normal(size=(12, 9))
+        img[0, :3] = np.nan
+        img[5:8, 2:7] = np.nan
+        img[11, 8] = np.nan
+        img[2, 2] = -np.inf
+        ref = interp.replace_nans_with_interpolated_values(img, False)
+        cleaned, nans = interp_device._infill_device(jnp, jnp.asarray(img))
+        np.testing.assert_allclose(
+            np.asarray(cleaned), ref, atol=1e-12
+        )
+        assert np.array_equal(np.asarray(nans), np.isnan(img))
+
+    def test_infill_all_nan(self):
+        import jax.numpy as jnp
+
+        from planetmapper_tpu.ops import interp, interp_device
+
+        img = np.full((6, 6), np.nan)
+        ref = interp.replace_nans_with_interpolated_values(img, False)
+        cleaned, _ = interp_device._infill_device(jnp, jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(cleaned), ref)
+
+    def test_all_nan_frame_in_cube(self):
+        from planetmapper_tpu.ops import interp_device
+
+        rng = np.random.default_rng(9)
+        cube = rng.normal(size=(3, 10, 11))
+        cube[1] = np.nan
+        x = rng.uniform(0, 10, 64).reshape(8, 8)
+        y = rng.uniform(0, 9, 64).reshape(8, 8)
+        out = interp_device.spline_interpolation_device(
+            cube, x, y, interpolation=3, warn_nan=False,
+            propagate_nan=False, spline_smoothing=0,
+        )
+        assert np.all(np.isnan(np.asarray(out)[1]))
+        assert np.isfinite(np.asarray(out)[0]).all()
+
+    def test_map_img_returns_device_array_by_default(self):
+        import jax
+
+        import planetmapper_tpu
+
+        body = planetmapper_tpu.BodyXY(
+            'Jupiter', observer='HST', utc='2005-01-01T00:00:00',
+            nx=15, ny=10,
+        )
+        body.set_disc_params(7, 4.5, 4, 0)
+        img = np.arange(150, dtype=float).reshape(10, 15)
+        m = body.map_img(img, degree_interval=30)
+        assert isinstance(m, jax.Array)
+        m_np = body.map_img(img, degree_interval=30, as_numpy=True)
+        assert isinstance(m_np, np.ndarray)
+        np.testing.assert_allclose(
+            np.asarray(m), m_np, equal_nan=True
+        )
