@@ -131,6 +131,19 @@ def bench_map(n_runs: int) -> dict:
         body.map_img(img, interpolation=interp, as_numpy=True, **map_kwargs)
         out[f'map_{name}_sync_ms'] = round((time.time() - t0) * 1e3, 3)
 
+    # 'smooth' (monotone PCHIP) mode, also fully device-resident
+    img = rng.normal(size=(size, size))
+    m = body.map_img(img, interpolation='smooth', **map_kwargs)
+    jax.block_until_ready(m)  # warm/compile
+    frames = [rng.normal(size=(size, size)) for _ in range(n_stream)]
+    t0 = time.time()
+    for f in frames:
+        m = body.map_img(f, interpolation='smooth', **map_kwargs)
+    jax.block_until_ready(m)
+    out['map_smooth_ms_per_frame'] = round(
+        (time.time() - t0) / n_stream * 1e3, 3
+    )
+
     # throughput mode: a cube maps all frames in ONE batched device
     # program, and ``as_numpy=False`` leaves the result on device - this
     # measures the reprojection itself. (The per-frame numbers above are

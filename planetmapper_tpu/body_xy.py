@@ -765,6 +765,16 @@ class BodyXY(Body):
                 spline_smoothing=spline_smoothing,
             )
         elif interpolation == 'smooth':
+            if use_device:
+                from .ops import pchip_device
+
+                return pchip_device.smooth_interpolation_device(
+                    img, x_map, y_map,
+                    propagate_nan=propagate_nan,
+                    oversample_by=smooth_oversample_by,
+                    max_oversampled_img_size=smooth_max_oversampled_img_size,
+                    as_numpy=as_numpy,
+                )
             projected = self._make_empty_map(**map_kwargs)
             interp.smooth_interpolation(
                 img, x_map, y_map, projected,

@@ -3,9 +3,11 @@ Minimal celestial WCS (FITS World Coordinate System) implementation.
 
 Replaces the ``astropy.wcs`` subset used by the observation layer
 (reference observation.py:427-500): parsing CRPIX/CRVAL/CDELT/PC/CD/CROTA2
-keywords, forward and inverse gnomonic (``TAN``) projection per the FITS
-WCS papers (Greisen & Calabretta 2002), and SIP distortion detection with
-``pix2foc`` evaluation.
+keywords, forward and inverse projection for the zenithal family --
+gnomonic ``TAN``, orthographic ``SIN`` (radio interferometry), zenithal
+equidistant ``ARC``, stereographic ``STG``, zenithal equal-area ``ZEA`` --
+and plain linear axes, per the FITS WCS papers (Greisen & Calabretta
+2002), plus SIP distortion detection with ``pix2foc`` evaluation.
 
 Pixel conventions follow astropy's ``*_values`` APIs: 0-based pixel
 coordinates (the FITS-standard 1-based CRPIX is converted internally).
@@ -20,7 +22,7 @@ import numpy as np
 
 
 class WCS:
-    """Celestial WCS built from a FITS header (TAN projection)."""
+    """Celestial WCS built from a FITS header (zenithal projections)."""
 
     def __init__(self, header=None, naxis=None) -> None:
         self.naxis = 0
@@ -140,19 +142,23 @@ class WCS:
         return types
 
     # ------------------------------------------------------------------
-    def _check_tan(self) -> None:
+    def _projection_code(self) -> str:
         if not self.wcs_valid:
             raise ValueError('No WCS information available')
-        proj = self.ctype[0][-3:]
-        if proj not in ('TAN', 'LIN', '   '):
+        proj = self.ctype[0][-3:].upper()
+        if proj in ('LIN', '   ') or self.ctype[0].strip() in ('X', 'Y', ''):
+            return 'LIN'
+        if proj not in _ZENITHAL_FROM_R:
             raise NotImplementedError(
                 f'WCS projection {self.ctype[0]!r} is not supported '
-                '(only TAN / linear)'
+                f'(supported: {", ".join(sorted(_ZENITHAL_FROM_R))}, '
+                'and linear)'
             )
+        return proj
 
     def pixel_to_world_values(self, x, y):
         """0-based pixel coordinates to (ra, dec) in degrees."""
-        self._check_tan()
+        proj = self._projection_code()
         x = np.asarray(x, dtype=float)
         y = np.asarray(y, dtype=float)
         if self.has_distortion:
@@ -163,17 +169,28 @@ class WCS:
             axis=-1,
         )
         inter = dp @ self.matrix.T  # intermediate world coords [deg]
-        ra, dec = self._tan_to_world(inter[..., 0], inter[..., 1])
+        if proj == 'LIN':
+            ra = self.crval[0] + inter[..., 0]
+            dec = self.crval[1] + inter[..., 1]
+        else:
+            ra, dec = self._plane_to_world(
+                inter[..., 0], inter[..., 1], proj
+            )
         if np.ndim(ra) == 0:
             return float(ra), float(dec)
         return ra, dec
 
     def world_to_pixel_values(self, ra, dec):
         """(ra, dec) in degrees to 0-based pixel coordinates."""
-        self._check_tan()
-        xi, eta = self._world_to_tan(
-            np.asarray(ra, dtype=float), np.asarray(dec, dtype=float)
-        )
+        proj = self._projection_code()
+        if proj == 'LIN':
+            xi = np.asarray(ra, dtype=float) - self.crval[0]
+            eta = np.asarray(dec, dtype=float) - self.crval[1]
+        else:
+            xi, eta = self._world_to_plane(
+                np.asarray(ra, dtype=float), np.asarray(dec, dtype=float),
+                proj,
+            )
         inter = np.stack(np.broadcast_arrays(xi, eta), axis=-1)
         dp = inter @ np.linalg.inv(self.matrix).T
         x = dp[..., 0] + self.crpix[0] - 1
@@ -199,19 +216,23 @@ class WCS:
         return x + dx + origin, y + dy + origin
 
     # ------------------------------------------------------------------
-    # Gnomonic (TAN) projection, FITS convention: intermediate world
-    # coordinates (xi, eta) in degrees; native longitude of the celestial
-    # pole LONPOLE = 180 deg for |crval_dec| != 90.
+    # Zenithal (azimuthal) projections, FITS convention (Calabretta &
+    # Greisen 2002): intermediate world coordinates (xi, eta) in degrees;
+    # reference point at the native pole (phi0, theta0) = (0, 90deg) and
+    # native longitude of the celestial pole LONPOLE = 180 deg for
+    # |crval_dec| != 90. All members share the native->celestial rotation
+    # and differ only in the radius law R(theta); radii here are in
+    # radian units (the degree<->radian scaling of the FITS papers is
+    # absorbed when converting xi/eta).
     # ------------------------------------------------------------------
-    def _tan_to_world(self, xi, eta):
+    def _plane_to_world(self, xi, eta, proj: str):
         xi = np.radians(xi)
         eta = np.radians(eta)
         ra0 = math.radians(self.crval[0])
         dec0 = math.radians(self.crval[1])
-        # native spherical coordinates of the gnomonic projection
         r = np.hypot(xi, eta)
         with np.errstate(invalid='ignore', divide='ignore'):
-            theta = np.arctan2(1.0, r)  # native latitude
+            theta = _ZENITHAL_FROM_R[proj](r)
         phi = np.arctan2(xi, -eta)  # native longitude
         sin_t, cos_t = np.sin(theta), np.cos(theta)
         sin_d0, cos_d0 = math.sin(dec0), math.cos(dec0)
@@ -221,9 +242,11 @@ class WCS:
         ra = ra0 + np.arctan2(
             cos_t * np.sin(phi), sin_t * cos_d0 + cos_t * np.cos(phi) * sin_d0
         )
+        dec = np.where(np.isnan(theta), np.nan, dec)
+        ra = np.where(np.isnan(theta), np.nan, ra)
         return np.degrees(ra) % 360.0, np.degrees(dec)
 
-    def _world_to_tan(self, ra, dec):
+    def _world_to_plane(self, ra, dec, proj: str):
         ra = np.radians(ra)
         dec = np.radians(dec)
         ra0 = math.radians(self.crval[0])
@@ -240,7 +263,36 @@ class WCS:
             cos_d * cos_dra * sin_d0 - sin_d * cos_d0,
         )
         with np.errstate(divide='ignore', invalid='ignore'):
-            r = 1.0 / np.tan(theta)
+            r = _ZENITHAL_TO_R[proj](theta)
         xi = r * np.sin(phi)
         eta = -r * np.cos(phi)
         return np.degrees(xi), np.degrees(eta)
+
+
+def _sin_from_r(r):
+    # orthographic: R = cos(theta); undefined beyond the unit circle
+    return np.arccos(np.where(r > 1.0, np.nan, r))
+
+
+#: radius-law inverses theta(R) for the supported zenithal projections
+#: (R in radian units)
+_ZENITHAL_FROM_R = {
+    'TAN': lambda r: np.arctan2(1.0, r),
+    'SIN': _sin_from_r,
+    'ARC': lambda r: np.where(
+        r > math.pi, np.nan, math.pi / 2.0 - r
+    ),
+    'STG': lambda r: math.pi / 2.0 - 2.0 * np.arctan(r / 2.0),
+    'ZEA': lambda r: math.pi / 2.0 - 2.0 * np.arcsin(
+        np.where(r > 2.0, np.nan, r / 2.0)
+    ),
+}
+
+#: radius laws R(theta)
+_ZENITHAL_TO_R = {
+    'TAN': lambda theta: 1.0 / np.tan(theta),
+    'SIN': lambda theta: np.cos(theta),
+    'ARC': lambda theta: math.pi / 2.0 - theta,
+    'STG': lambda theta: 2.0 * np.tan((math.pi / 2.0 - theta) / 2.0),
+    'ZEA': lambda theta: 2.0 * np.sin((math.pi / 2.0 - theta) / 2.0),
+}

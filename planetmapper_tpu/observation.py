@@ -571,7 +571,8 @@ class Observation(BodyXY):
                     **map_kwargs,
                 )
             )
-        return np.array(projected)
+        # float64 materialisation, as for the batched branch above
+        return np.array(projected, dtype=np.float64)
 
     # ------------------------------------------------------------------
     # Output

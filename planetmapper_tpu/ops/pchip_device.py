@@ -1,0 +1,384 @@
+"""
+Device-resident 'smooth' (PCHIP) map interpolation.
+
+Replicates the reference's monotone-cubic mapping mode (reference
+body_xy.py:1704-1853: separable row/column PCHIP oversampling of the
+image followed by linear interpolation at the map sample points) as one
+jitted device program, replacing the scipy PchipInterpolator /
+RegularGridInterpolator host path on the default route.
+
+The data-dependent part of PCHIP - each row interpolates over only its
+*finite* cells, with NaN gaps bridged by irregular-spacing monotone
+cubics - is expressed with fixed shapes:
+
+- nearest-finite-neighbour indices/values/derivatives come from
+  ``lax.associative_scan`` with a "last valid wins" combiner (no gathers);
+- the Fritsch-Carlson derivative rules (scipy's ``_find_derivatives``
+  weighted harmonic mean + one-sided edge formula with its monotonicity
+  clamps) are evaluated branchlessly for every cell and masked;
+- evaluation positions are a static ``linspace`` whose enclosing cells
+  are known at trace time, so per-cell quantities move to the oversampled
+  grid with ``jnp.repeat`` (static total) instead of dynamic gathers;
+- the final map-sample stage is the same chunked one-hot/weight-matrix
+  bilinear evaluation used by the spline path (TPU gathers scalarize;
+  compare+matmul streams at full bandwidth), with scipy's NaN semantics
+  (any referenced corner NaN -> NaN) reproduced via indicator matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+from .interp_device import _device_xy
+
+
+def _last_valid_scan(lax, jnp, valid, payloads, axis: int, reverse: bool):
+    """
+    Inclusive scan returning, for each position, the payload of the
+    nearest valid position at-or-before it (at-or-after with
+    ``reverse=True``), plus whether one exists.
+    """
+
+    def combine(a, b):
+        # b is the later element in scan order: it wins where valid
+        av = a[0]
+        bv = b[0]
+        out = [bv | av]
+        for ap, bp in zip(a[1:], b[1:]):
+            out.append(jnp.where(bv, bp, ap))
+        return tuple(out)
+
+    return lax.associative_scan(
+        combine, (valid, *payloads), axis=axis, reverse=reverse
+    )
+
+
+def _shift(jnp, arr, axis: int, offset: int, fill):
+    """Shift along ``axis`` by ``offset`` (+1 = towards higher index),
+    filling vacated cells with ``fill``."""
+    if offset == 0:
+        return arr
+    n = arr.shape[axis]
+    pad = [(0, 0)] * arr.ndim
+    if offset > 0:
+        pad[axis] = (offset, 0)
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(0, n)
+    else:
+        pad[axis] = (0, -offset)
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(-offset, n - offset)
+    return jnp.pad(arr, pad, constant_values=fill)[tuple(sl)]
+
+
+def _edge_derivative(jnp, h0, d0, h1, d1):
+    """scipy PchipInterpolator._edge_case: one-sided three-point estimate
+    with the Fritsch-Carlson monotonicity clamps."""
+    d = ((2.0 * h0 + h1) * d0 - h0 * d1) / (h0 + h1)
+    sign_flip = jnp.sign(d) != jnp.sign(d0)
+    over = (jnp.sign(d0) != jnp.sign(d1)) & (jnp.abs(d) > 3.0 * jnp.abs(d0))
+    d = jnp.where(sign_flip, 0.0, d)
+    d = jnp.where(over, 3.0 * d0, d)
+    return d
+
+
+def _pchip_axis(jnp, lax, values, n_eval: int, k_rep: int):
+    """
+    PCHIP each row of ``values`` (..., n) over its finite cells and
+    evaluate on the static ``linspace(0, n-1, n_eval)`` grid (whose step
+    is ``1/k_rep`` of a cell; ``n_eval == (n-1)*k_rep + 1``). Rows with
+    fewer than two finite cells evaluate to NaN (scipy behaviour), as do
+    positions outside a row's finite span (``extrapolate=False``).
+    """
+    n = values.shape[-1]
+    axis = values.ndim - 1
+    idx = jnp.arange(n, dtype=values.dtype)
+    idx = jnp.broadcast_to(idx, values.shape)
+    finite = jnp.isfinite(values)
+    v = jnp.where(finite, values, 0.0)
+
+    # nearest finite at-or-before / at-or-after each cell
+    fv, f_idx, f_val = _last_valid_scan(
+        lax, jnp, finite, (idx, v), axis, reverse=False
+    )
+    bv, b_idx, b_val = _last_valid_scan(
+        lax, jnp, finite, (idx, v), axis, reverse=True
+    )
+    # strictly-before / strictly-after neighbours (for derivative stencils)
+    pv = _shift(jnp, fv, axis, 1, False)
+    p_idx = _shift(jnp, f_idx, axis, 1, 0.0)
+    p_val = _shift(jnp, f_val, axis, 1, 0.0)
+    nv = _shift(jnp, bv, axis, -1, False)
+    n_idx = _shift(jnp, b_idx, axis, -1, 0.0)
+    n_val = _shift(jnp, b_val, axis, -1, 0.0)
+
+    # per-finite-cell interval widths and slopes
+    h_prev = jnp.where(pv, idx - p_idx, 1.0)
+    d_prev = jnp.where(pv, (v - p_val) / h_prev, 0.0)
+    h_next = jnp.where(nv, n_idx - idx, 1.0)
+    d_next = jnp.where(nv, (n_val - v) / h_next, 0.0)
+
+    # second-interval data for the one-sided edge stencils: the (h, d) of
+    # the *neighbouring finite cell's* outward interval, again by scans
+    _, nn_h, nn_d, nn_has = _last_valid_scan(
+        lax, jnp, finite, (h_next, d_next, nv), axis, reverse=True
+    )
+    nn_h = _shift(jnp, nn_h, axis, -1, 1.0)
+    nn_d = _shift(jnp, nn_d, axis, -1, 0.0)
+    nn_has = _shift(jnp, nn_has, axis, -1, False)
+    _, pp_h, pp_d, pp_has = _last_valid_scan(
+        lax, jnp, finite, (h_prev, d_prev, pv), axis, reverse=False
+    )
+    pp_h = _shift(jnp, pp_h, axis, 1, 1.0)
+    pp_d = _shift(jnp, pp_d, axis, 1, 0.0)
+    pp_has = _shift(jnp, pp_has, axis, 1, False)
+
+    # Fritsch-Carlson interior derivative (scipy _find_derivatives):
+    # weighted harmonic mean where slopes share a sign, else 0
+    w1 = 2.0 * h_next + h_prev
+    w2 = h_next + 2.0 * h_prev
+    same_sign = (d_prev * d_next) > 0.0
+    denom = jnp.where(same_sign, w1 / jnp.where(d_prev == 0, 1.0, d_prev)
+                      + w2 / jnp.where(d_next == 0, 1.0, d_next), 1.0)
+    d_interior = jnp.where(same_sign, (w1 + w2) / denom, 0.0)
+
+    # edge derivatives (missing second interval falls back to its own,
+    # which reduces the stencil to the 2-point linear slope)
+    d_first = _edge_derivative(
+        jnp, h_next, d_next,
+        jnp.where(nn_has, nn_h, h_next), jnp.where(nn_has, nn_d, d_next),
+    )
+    d_last = _edge_derivative(
+        jnp, h_prev, d_prev,
+        jnp.where(pp_has, pp_h, h_prev), jnp.where(pp_has, pp_d, d_prev),
+    )
+    deriv = jnp.where(
+        pv & nv, d_interior,
+        jnp.where(nv, d_first, jnp.where(pv, d_last, 0.0)),
+    )
+
+    # segment data at every cell: left = nearest finite at-or-before,
+    # right = nearest finite at-or-after (consecutive finite cells bracket
+    # every evaluation position by construction)
+    _, l_idx, l_val, l_der = _last_valid_scan(
+        lax, jnp, finite, (idx, v, deriv), axis, reverse=False
+    )
+    has_l = fv
+    _, r_idx, r_val, r_der = _last_valid_scan(
+        lax, jnp, finite, (idx, v, deriv), axis, reverse=True
+    )
+    has_r = bv
+
+    # move per-cell segment data to the oversampled grid: positions
+    # linspace(0, n-1, n_eval) fall in cell floor(x) -> static repeats
+    reps_floor = np.full(n, k_rep)
+    reps_floor[-1] = 1
+    reps_ceil = np.full(n, k_rep)
+    reps_ceil[0] = 1
+
+    def on_eval_floor(a):
+        return jnp.repeat(a, reps_floor, axis=axis,
+                          total_repeat_length=n_eval)
+
+    def on_eval_ceil(a):
+        return jnp.repeat(a, reps_ceil, axis=axis,
+                          total_repeat_length=n_eval)
+
+    xl = on_eval_floor(l_idx)
+    fl = on_eval_floor(l_val)
+    dl = on_eval_floor(l_der)
+    ok_l = on_eval_floor(has_l)
+    xr = on_eval_ceil(r_idx)
+    fr = on_eval_ceil(r_val)
+    dr = on_eval_ceil(r_der)
+    ok_r = on_eval_ceil(has_r)
+
+    xs = jnp.linspace(0.0, float(n - 1), n_eval, dtype=values.dtype)
+    xs = jnp.broadcast_to(xs, values.shape[:-1] + (n_eval,))
+
+    h = xr - xl
+    degenerate = h == 0.0
+    h_safe = jnp.where(degenerate, 1.0, h)
+    t = (xs - xl) / h_safe
+    t2 = t * t
+    t3 = t2 * t
+    hermite = (
+        fl * (2.0 * t3 - 3.0 * t2 + 1.0)
+        + h_safe * dl * (t3 - 2.0 * t2 + t)
+        + fr * (-2.0 * t3 + 3.0 * t2)
+        + h_safe * dr * (t3 - t2)
+    )
+    result = jnp.where(degenerate, fl, hermite)
+    result = jnp.where(ok_l & ok_r, result, jnp.nan)
+    # scipy skips rows with < 2 finite points entirely
+    enough = jnp.sum(finite, axis=axis, keepdims=True) >= 2
+    return jnp.where(enough, result, jnp.nan)
+
+
+@functools.lru_cache(maxsize=None)
+def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
+               ky_rep: int, kx_rep: int, propagate_nan: bool):
+    """
+    Jitted end-to-end 'smooth' program for one (image-shape, map-limits,
+    oversampling) configuration: box slice, row PCHIP, column PCHIP,
+    chunked bilinear sampling with scipy's NaN-corner semantics, and the
+    4-neighbour NaN propagation mask.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    ny_b = iy1 - iy0
+    nx_b = ix1 - ix0
+    n_xs = (nx_b - 1) * kx_rep + 1
+    n_ys = (ny_b - 1) * ky_rep + 1
+    x_step = (nx_b - 1) / (n_xs - 1) if n_xs > 1 else 1.0
+    y_step = (ny_b - 1) / (n_ys - 1) if n_ys > 1 else 1.0
+
+    def sample_chunk(grid_f32, grid_nan, y, x, valid, img_nan):
+        # bilinear with scipy RegularGridInterpolator semantics on the
+        # uniform oversampled grid (box coordinates); one-hot matmuls
+        # instead of gathers
+        yb = (y - float(iy0)) / y_step
+        xb = (x - float(ix0)) / x_step
+        inside = (
+            (yb >= 0.0) & (yb <= n_ys - 1) & (xb >= 0.0) & (xb <= n_xs - 1)
+        )
+        iy = jnp.clip(jnp.floor(yb), 0, max(n_ys - 2, 0))
+        ix = jnp.clip(jnp.floor(xb), 0, max(n_xs - 2, 0))
+        ty = (yb - iy).astype(jnp.float32)
+        tx = (xb - ix).astype(jnp.float32)
+        iyi = iy.astype(jnp.int32)
+        ixi = ix.astype(jnp.int32)
+        jy = jnp.arange(n_ys, dtype=jnp.int32)[None, :]
+        jx = jnp.arange(n_xs, dtype=jnp.int32)[None, :]
+        oh_y0 = (jy == iyi[:, None]).astype(jnp.float32)
+        oh_y1 = (jy == (iyi + 1)[:, None]).astype(jnp.float32)
+        oh_x0 = (jx == ixi[:, None]).astype(jnp.float32)
+        oh_x1 = (jx == (ixi + 1)[:, None]).astype(jnp.float32)
+        wy = oh_y0 * (1.0 - ty)[:, None] + oh_y1 * ty[:, None]
+        wx = oh_x0 * (1.0 - tx)[:, None] + oh_x1 * tx[:, None]
+        rows = jnp.matmul(wy, grid_f32, precision=lax.Precision.HIGHEST)
+        val = jnp.sum(rows * wx, axis=-1)
+        # scipy's linear stage hits all 2x2 corners regardless of weight:
+        # any NaN corner -> NaN
+        cy = oh_y0 + oh_y1
+        cx = oh_x0 + oh_x1
+        nan_hit = jnp.sum(
+            jnp.matmul(cy, grid_nan, precision=lax.Precision.HIGHEST) * cx,
+            axis=-1,
+        ) > 0.5
+        mask = valid & inside & ~nan_hit
+        if propagate_nan:
+            y0n = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ny - 1)
+            y1n = jnp.clip(jnp.ceil(y).astype(jnp.int32), 0, ny - 1)
+            x0n = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx - 1)
+            x1n = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, nx - 1)
+            jyn = jnp.arange(ny, dtype=jnp.int32)[None, :]
+            jxn = jnp.arange(nx, dtype=jnp.int32)[None, :]
+            uy = (
+                (jyn == y0n[:, None]) | (jyn == y1n[:, None])
+            ).astype(jnp.float32)
+            ux = (
+                (jxn == x0n[:, None]) | (jxn == x1n[:, None])
+            ).astype(jnp.float32)
+            outside = (x < 0.0) | (y < 0.0) | (x > nx - 1) | (y > ny - 1)
+            cnt = jnp.sum(
+                jnp.matmul(
+                    uy, img_nan, precision=lax.Precision.HIGHEST
+                ) * ux,
+                axis=-1,
+            )
+            mask = mask & ~(outside | (cnt > 0.5))
+        return jnp.where(mask, val, jnp.nan)
+
+    def fn(img, y, x, valid):
+        box = img[iy0:iy1, ix0:ix1].astype(jnp.float64)
+        intermediate = _pchip_axis(jnp, lax, box, n_xs, kx_rep)
+        final = _pchip_axis(
+            jnp, lax, jnp.swapaxes(intermediate, 0, 1), n_ys, ky_rep
+        )
+        final = jnp.swapaxes(final, 0, 1)  # (n_ys, n_xs)
+        grid_nan = jnp.isnan(final).astype(jnp.float32)
+        grid_f32 = jnp.where(jnp.isnan(final), 0.0, final).astype(
+            jnp.float32
+        )
+        img_nan = jnp.isnan(img).astype(jnp.float32)
+
+        y = y.astype(jnp.float64)
+        x = x.astype(jnp.float64)
+        n = y.shape[0]
+        n_c = max(n_ys, n_xs)
+        chunk = int(min(max(n, 1), max(8192, (1 << 27) // n_c)))
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        yp = jnp.pad(y, (0, pad)).reshape(n_chunks, chunk)
+        xp = jnp.pad(x, (0, pad)).reshape(n_chunks, chunk)
+        vp = jnp.pad(valid, (0, pad)).reshape(n_chunks, chunk)
+        out = lax.map(
+            lambda a: sample_chunk(
+                grid_f32, grid_nan, a[0], a[1], a[2], img_nan
+            ),
+            (yp, xp, vp),
+        )
+        return out.reshape(-1)[:n].astype(jnp.float32)
+
+    return jax.jit(fn)
+
+
+def smooth_interpolation_device(
+    img, x_map, y_map, *, propagate_nan: bool, oversample_by: int,
+    max_oversampled_img_size: int, limit_padding: float = 5.0,
+    as_numpy: bool = True,
+):
+    """
+    Device-evaluated 'smooth' (PCHIP) reprojection of a single image
+    frame. Semantics follow the host implementation
+    (:func:`..interp.smooth_interpolation` / reference
+    body_xy.py:1704-1853): the image is restricted to the map's padded
+    pixel-coordinate bounding box, PCHIP-oversampled separably, and
+    sampled linearly at the map coordinates.
+    """
+    import jax.numpy as jnp
+
+    img = np.asarray(img)
+    ny, nx = img.shape
+    out_shape = x_map.shape
+    if np.all(np.isnan(img)) or not np.any(np.isfinite(x_map)):
+        result = np.full(out_shape, np.nan)
+        return result if as_numpy else jnp.asarray(result, jnp.float32)
+
+    xlim = (np.nanmin(x_map), np.nanmax(x_map))
+    ylim = (np.nanmin(y_map), np.nanmax(y_map))
+    ix0 = max(0, int(math.ceil(xlim[0] - limit_padding)))
+    ix1 = min(nx, int(math.floor(xlim[1] + limit_padding)) + 1)
+    iy0 = max(0, int(math.ceil(ylim[0] - limit_padding)))
+    iy1 = min(ny, int(math.floor(ylim[1] + limit_padding)) + 1)
+    if ix1 - ix0 < 2 or iy1 - iy0 < 2:
+        # degenerate box: the host path would find < 2 usable points in
+        # one direction and leave the map NaN
+        result = np.full(out_shape, np.nan)
+        return result if as_numpy else jnp.asarray(result, jnp.float32)
+
+    def pick_rep(n_box: int) -> int:
+        for k in range(oversample_by, 1, -1):
+            if n_box * k - (k - 1) <= max_oversampled_img_size:
+                return k
+        return 1
+
+    kx_rep = pick_rep(ix1 - ix0)
+    ky_rep = pick_rep(iy1 - iy0)
+
+    x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
+    fn = _smooth_fn(
+        ny, nx, iy0, iy1, ix0, ix1, ky_rep, kx_rep, propagate_nan
+    )
+    vals = fn(jnp.asarray(img, dtype=jnp.float64), y_dev, x_dev, valid_dev)
+    vals = vals.reshape(out_shape)
+    if as_numpy:
+        # match the host implementation's float64 output
+        return np.asarray(vals, dtype=np.float64)
+    return vals

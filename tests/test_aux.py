@@ -241,3 +241,106 @@ class TestWcs:
 
         w = WCS(fits.Header({'A': 1}))
         assert w.naxis == 0
+
+    @pytest.mark.parametrize('proj', ['TAN', 'SIN', 'ARC', 'STG', 'ZEA'])
+    def test_zenithal_roundtrip(self, proj):
+        from planetmapper_tpu.io.wcs import WCS
+
+        h = fits.Header(
+            {
+                'CTYPE1': f'RA---{proj}', 'CTYPE2': f'DEC--{proj}',
+                'CRPIX1': 10, 'CRPIX2': 20, 'CRVAL1': 120.0, 'CRVAL2': -45.0,
+                'CDELT1': -0.001, 'CDELT2': 0.001, 'CROTA2': 30.0,
+            }
+        )
+        w = WCS(h)
+        for x, y in [(0.0, 0.0), (9.0, 19.0), (100.0, -50.0)]:
+            ra, dec = w.pixel_to_world_values(x, y)
+            x2, y2 = w.world_to_pixel_values(ra, dec)
+            assert x2 == pytest.approx(x, abs=1e-6), proj
+            assert y2 == pytest.approx(y, abs=1e-6), proj
+
+    def test_sin_matches_textbook_orthographic(self):
+        # Independent check of the SIN radius law: the orthographic
+        # projection about (ra0, dec0) has the closed form
+        # xi = cos(d) sin(a - a0), eta = sin(d) cos(d0) - cos(d) sin(d0) cos(a - a0)
+        import math
+
+        from planetmapper_tpu.io.wcs import WCS
+
+        ra0, dec0 = 80.0, 25.0
+        h = fits.Header(
+            {
+                'CTYPE1': 'RA---SIN', 'CTYPE2': 'DEC--SIN',
+                'CRPIX1': 1.0, 'CRPIX2': 1.0, 'CRVAL1': ra0, 'CRVAL2': dec0,
+                'CDELT1': 1.0, 'CDELT2': 1.0,
+            }
+        )
+        w = WCS(h)
+        for ra, dec in [(81.0, 25.5), (78.2, 23.9), (85.0, 30.0)]:
+            x, y = w.world_to_pixel_values(ra, dec)
+            a, a0 = math.radians(ra), math.radians(ra0)
+            d, d0 = math.radians(dec), math.radians(dec0)
+            xi = math.degrees(math.cos(d) * math.sin(a - a0))
+            eta = math.degrees(
+                math.sin(d) * math.cos(d0)
+                - math.cos(d) * math.sin(d0) * math.cos(a - a0)
+            )
+            # CRPIX=1, CDELT=1: pixel (0-based) == intermediate coords [deg]
+            assert x == pytest.approx(xi, abs=1e-9)
+            assert y == pytest.approx(eta, abs=1e-9)
+
+    def test_zenithal_agree_near_axis_diverge_offaxis(self):
+        from planetmapper_tpu.io.wcs import WCS
+
+        def make(proj):
+            return WCS(fits.Header(
+                {
+                    'CTYPE1': f'RA---{proj}', 'CTYPE2': f'DEC--{proj}',
+                    'CRPIX1': 0.0, 'CRPIX2': 0.0,
+                    'CRVAL1': 10.0, 'CRVAL2': 40.0,
+                    'CDELT1': 0.001, 'CDELT2': 0.001,
+                }
+            ))
+
+        tan = make('TAN')
+        for proj in ('SIN', 'ARC', 'STG', 'ZEA'):
+            w = make(proj)
+            # 1 pixel = 3.6 arcsec off-axis: all zenithal projections agree
+            # to O(r^3) ~ sub-microarcsec
+            ra_t, dec_t = tan.pixel_to_world_values(1.0, 0.0)
+            ra_p, dec_p = w.pixel_to_world_values(1.0, 0.0)
+            assert ra_p == pytest.approx(ra_t, abs=1e-9)
+            assert dec_p == pytest.approx(dec_t, abs=1e-9)
+            # 5000 pixels = 5 deg off-axis: they measurably differ
+            ra_t, dec_t = tan.pixel_to_world_values(0.0, 5000.0)
+            ra_p, dec_p = w.pixel_to_world_values(0.0, 5000.0)
+            assert abs(dec_p - dec_t) > 1e-3
+
+    def test_sin_outside_unit_circle_is_nan(self):
+        import numpy as np
+
+        from planetmapper_tpu.io.wcs import WCS
+
+        w = WCS(fits.Header(
+            {
+                'CTYPE1': 'RA---SIN', 'CTYPE2': 'DEC--SIN',
+                'CRPIX1': 1.0, 'CRPIX2': 1.0, 'CRVAL1': 0.0, 'CRVAL2': 0.0,
+                'CDELT1': 30.0, 'CDELT2': 30.0,
+            }
+        ))
+        ra, dec = w.pixel_to_world_values(3.0, 0.0)  # 90 deg -> r > 1
+        assert np.isnan(ra) and np.isnan(dec)
+
+    def test_unsupported_projection_raises(self):
+        from planetmapper_tpu.io.wcs import WCS
+
+        w = WCS(fits.Header(
+            {
+                'CTYPE1': 'RA---AIT', 'CTYPE2': 'DEC--AIT',
+                'CRPIX1': 1, 'CRPIX2': 1, 'CRVAL1': 0.0, 'CRVAL2': 0.0,
+            }
+        ))
+        with pytest.raises(NotImplementedError, match='AIT'):
+            w.pixel_to_world_values(0.0, 0.0)
+

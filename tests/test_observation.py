@@ -117,6 +117,27 @@ class TestLoading:
         assert obs.get_rotation() == pytest.approx(260.32237572846986, abs=0.2)
         assert obs.get_disc_method() == 'wcs'
 
+    def test_wcs_fits_sin_projection(self):
+        # Same observation navigated through an orthographic (SIN) WCS:
+        # the target sits close to the reference point, so the disc
+        # parameters must land on the TAN goldens (all zenithal
+        # projections agree on-axis), exercising the non-TAN path
+        # end-to-end through disc_from_wcs
+        with fits.open(os.path.join(INPUTS, 'wcs.fits')) as hdul:
+            header = hdul[0].header.copy()
+            data = hdul[0].data
+        header['CTYPE1'] = 'RA---SIN'
+        header['CTYPE2'] = 'DEC--SIN'
+        obs = Observation(data=data, header=header)
+        obs.disc_from_wcs(suppress_warnings=True)
+        assert obs.get_x0() == pytest.approx(198.87871682168858, abs=0.5)
+        assert obs.get_y0() == pytest.approx(-31.89770255438151, abs=0.5)
+        assert obs.get_r0() == pytest.approx(164.4473594677842, abs=0.5)
+        assert obs.get_rotation() == pytest.approx(
+            260.32237572846986, abs=0.5
+        )
+        assert obs.get_disc_method() == 'wcs'
+
     def test_extended_fits(self):
         obs = Observation(os.path.join(INPUTS, 'extended.fits'))
         assert obs.target == 'JUPITER'

@@ -777,3 +777,66 @@ class TestDeviceSolveInterp:
         np.testing.assert_allclose(
             np.asarray(m), m_np, equal_nan=True
         )
+
+
+class TestDeviceSmooth:
+    """Device PCHIP 'smooth' mode vs the host scipy implementation."""
+
+    @pytest.mark.parametrize('propagate_nan', [True, False])
+    def test_matches_host(self, propagate_nan):
+        from planetmapper_tpu.ops import interp, pchip_device
+
+        rng = np.random.default_rng(11)
+        img = rng.normal(size=(24, 19))
+        img[3, 4] = np.nan
+        img[10:13, 5:9] = np.nan
+        img[:, 0] = np.nan
+        x = rng.uniform(-3, 21, 300).reshape(15, 20)
+        y = rng.uniform(-3, 26, 300).reshape(15, 20)
+        x[0, :4] = np.nan
+        ref = np.full(x.shape, np.nan)
+        interp.smooth_interpolation(
+            img, x, y, ref, propagate_nan=propagate_nan,
+            oversample_by=5, max_oversampled_img_size=10000,
+        )
+        out = pchip_device.smooth_interpolation_device(
+            img, x, y, propagate_nan=propagate_nan, oversample_by=5,
+            max_oversampled_img_size=10000,
+        )
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        np.testing.assert_allclose(out, ref, atol=2e-5, equal_nan=True)
+
+    def test_oversample_fallback(self):
+        # max_oversampled_img_size forces a lower (or unit) oversampling
+        # factor; semantics must still match the host implementation
+        from planetmapper_tpu.ops import interp, pchip_device
+
+        rng = np.random.default_rng(12)
+        img = rng.normal(size=(30, 40))
+        x = rng.uniform(0, 39, 100).reshape(10, 10)
+        y = rng.uniform(0, 29, 100).reshape(10, 10)
+        for max_size in (50, 80, 10000):
+            ref = np.full(x.shape, np.nan)
+            interp.smooth_interpolation(
+                img, x, y, ref, propagate_nan=True,
+                oversample_by=5, max_oversampled_img_size=max_size,
+            )
+            out = pchip_device.smooth_interpolation_device(
+                img, x, y, propagate_nan=True, oversample_by=5,
+                max_oversampled_img_size=max_size,
+            )
+            assert np.array_equal(np.isnan(out), np.isnan(ref)), max_size
+            np.testing.assert_allclose(
+                out, ref, atol=2e-5, equal_nan=True
+            )
+
+    def test_all_nan_image(self):
+        from planetmapper_tpu.ops import pchip_device
+
+        img = np.full((10, 10), np.nan)
+        x = np.linspace(0, 9, 25).reshape(5, 5)
+        out = pchip_device.smooth_interpolation_device(
+            img, x, x.T.copy(), propagate_nan=True, oversample_by=5,
+            max_oversampled_img_size=10000,
+        )
+        assert np.all(np.isnan(out))
