@@ -44,7 +44,12 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
 
     def run():
         out = compute_backplanes(body, as_numpy=False)
-        jax.block_until_ready(out)
+        # All 26 outputs come from ONE fused XLA execution, so syncing on
+        # a single leaf waits for the whole program while paying one
+        # transport round trip instead of 26 (each ~1 ms via the remote
+        # TPU tunnel - this is the difference between a blocked call and
+        # the pipelined rate).
+        next(iter(out.values())).block_until_ready()
         return out
 
     t_compile0 = time.time()
