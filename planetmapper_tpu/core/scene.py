@@ -29,26 +29,17 @@ from typing import Callable
 
 import numpy as np
 
-from .ephemeris import CLIGHT, SSB, Ephemeris, parse_abcorr, stelab
+from .ephemeris import (
+    CLIGHT,
+    SSB,
+    Ephemeris,
+    _host_device,
+    _SMALL_CALL_ELEMENTS,
+    parse_abcorr,
+    stelab,
+)
 from .frames import BodyFrameModel
 from . import geometry as geom
-
-#: Calls whose largest input is at most this many elements run on the
-#: local CPU backend (see SceneEngine._jitted)
-_SMALL_CALL_ELEMENTS = 4096
-
-
-def _host_device():
-    """Context manager selecting the local CPU backend (no-op without one)."""
-    import contextlib
-
-    import jax
-
-    try:
-        cpu = jax.devices('cpu')[0]
-    except RuntimeError:  # pragma: no cover - CPU backend always exists
-        return contextlib.nullcontext()
-    return jax.default_device(cpu)
 
 
 class SceneEngine:
@@ -84,6 +75,7 @@ class SceneEngine:
         self.corr = parse_abcorr(self.abcorr)
         self.et_ref = float(et_ref)
         self._jit_cache: dict[str, Callable] = {}
+        self._scene_spec: list[tuple[str, tuple, int]] | None = None
 
         # Chain-frozen SSB position functions (pure JAX in et)
         self._pos_t = ephemeris.position_fn(target_id, SSB, et_ref)
@@ -350,11 +342,39 @@ class SceneEngine:
             radii = self.radii
         import jax
 
-        fn = self._jitted('scene_constants', self._scene_constants_impl)
-        out = fn(et, np.asarray(radii, dtype=np.float64))
-        # One bulk transfer: per-leaf np.asarray costs a device round trip
-        # per field on remote-TPU transports
-        return jax.device_get(out)
+        radii = np.asarray(radii, dtype=np.float64)
+        # ONE packed transfer: jax.device_get on the output dict costs a
+        # device round trip PER LEAF (19 fields here) on remote-TPU
+        # transports, so the jitted program concatenates every field into
+        # a single flat f64 vector that is fetched with one sync.
+        spec = self._scene_spec
+        if spec is None:
+            shapes = jax.eval_shape(
+                self._scene_constants_impl,
+                jax.ShapeDtypeStruct((), np.float64),
+                jax.ShapeDtypeStruct((3,), np.float64),
+            )
+            spec = [
+                (key, shapes[key].shape, int(np.prod(shapes[key].shape, dtype=int)))
+                for key in sorted(shapes)
+            ]
+            self._scene_spec = spec
+        fn = self._jitted('scene_constants_packed', self._scene_constants_packed)
+        flat = np.asarray(fn(et, radii))
+        out = {}
+        i = 0
+        for key, shape, size in spec:
+            out[key] = flat[i : i + size].reshape(shape)
+            i += size
+        return out
+
+    def _scene_constants_packed(self, et, radii):
+        import jax.numpy as jnp
+
+        out = self._scene_constants_impl(et, radii)
+        return jnp.concatenate(
+            [jnp.ravel(out[key]).astype(jnp.float64) for key in sorted(out)]
+        )
 
     def _scene_constants_impl(self, et, radii):
         import jax.numpy as jnp

@@ -278,6 +278,26 @@ class TestCLI:
         with pytest.raises(SystemExit):
             cli.main(['--precision', 'bogus'])
 
+    def test_prewarm_dispatch(self):
+        # --prewarm runs the AOT compile path (with parsed sizes) and
+        # never launches the GUI
+        with mock.patch.object(cli, '_prewarm') as mock_prewarm, \
+                mock.patch(
+                    'planetmapper_tpu.gui._run_gui_from_cli'
+                ) as mock_gui:
+            cli.main(['--prewarm', '64', '128', '--target', 'Saturn'])
+        mock_prewarm.assert_called_once_with('Saturn', 'EARTH', [64, 128])
+        mock_gui.assert_not_called()
+
+    def test_prewarm_real_tiny(self, capsys):
+        # End-to-end on a tiny grid: compiles the fused pipeline + map
+        # programs into the persistent cache and prints progress
+        cli.main(['--prewarm', '16'])
+        out = capsys.readouterr().out
+        assert 'fused pipeline compiled' in out
+        assert 'map reprojection compiled' in out
+        assert 'persistent cache' in out
+
 
 class TestKernelDownloader:
     """Offline: every network function is patched."""
