@@ -29,9 +29,41 @@ os.environ.setdefault(
 BASELINE_MPIX_PER_S = 0.0125  # reference CPU loop (BASELINE.md)
 
 
-def bench_backplanes(size: int, n_runs: int) -> dict:
-    import jax
+def _make_sync(example_tree):
+    """
+    Build ``sync(tree) -> float``: a jitted reduction over tiny strided
+    slices of every array leaf, fetched to the host as one scalar.
 
+    This is the only *honest* completion timer on this transport:
+    ``block_until_ready`` through the remote-TPU proxy acks when the
+    execution is accepted, not when it finishes (measured: 0.3 ms
+    "blocked" for a 26-plane 2048x2048 set whose real execution takes
+    ~30 ms, while a data-dependent scalar fetch waits correctly). The
+    scalar's value depends on every output, so its arrival proves the
+    full set was computed; fetching one element keeps the D2H transfer
+    out of the measurement.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def reduce_tree(tree):
+        leaves = [
+            v for v in jax.tree_util.tree_leaves(tree)
+            if hasattr(v, 'dtype') and jnp.issubdtype(v.dtype, jnp.floating)
+        ]
+        return sum(
+            jnp.sum(jnp.nan_to_num(v[(slice(None, None, 128),) * v.ndim]))
+            for v in leaves
+        )
+
+    def sync(tree) -> float:
+        return float(reduce_tree(tree))
+
+    return sync
+
+
+def bench_backplanes(size: int, n_runs: int) -> dict:
     from planetmapper_tpu import BodyXY
     from planetmapper_tpu.pipeline import compute_backplanes
 
@@ -42,14 +74,14 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
     body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
     setup_time = time.time() - t_setup0
 
+    sync = None
+
     def run():
+        nonlocal sync
         out = compute_backplanes(body, as_numpy=False)
-        # All 26 outputs come from ONE fused XLA execution, so syncing on
-        # a single leaf waits for the whole program while paying one
-        # transport round trip instead of 26 (each ~1 ms via the remote
-        # TPU tunnel - this is the difference between a blocked call and
-        # the pipelined rate).
-        next(iter(out.values())).block_until_ready()
+        if sync is None:
+            sync = _make_sync(out)
+        sync(out)
         return out
 
     t_compile0 = time.time()
@@ -62,10 +94,9 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
 
     from planetmapper_tpu.pipeline import compute_backplanes as _cb
 
-    # Per-call blocking measures one device-sync round trip per output
-    # array, which through a remote-TPU transport costs ~25 ms each and
-    # swamps the compute. Throughput timing: enqueue n_runs full sets
-    # (disc params change per call, so nothing is cached) and block once.
+    # Blocked: one synchronous call per timing, completion proven by the
+    # scalar fetch (which also pays the transport round trip any
+    # synchronous caller pays - ~35 ms floor on this tunnel).
     times = []
     for _ in range(n_runs):
         body.adjust_disc_params(dx=0.1)
@@ -74,11 +105,15 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
         times.append(time.time() - t0)
     blocked_best = min(times)
 
+    # Pipelined: enqueue n_runs full sets (disc params change per call,
+    # so nothing is cached), then prove completion of the LAST set with
+    # one scalar fetch - in-order device execution makes it a barrier
+    # for the whole stream.
     t0 = time.time()
     for _ in range(n_runs):
         body.adjust_disc_params(dx=0.1)
         out = _cb(body, as_numpy=False)
-    jax.block_until_ready(out)
+    sync(out)
     per_call = (time.time() - t0) / n_runs
 
     best = min(blocked_best, per_call)
@@ -107,25 +142,26 @@ def bench_map(n_runs: int) -> dict:
     body.get_x_map(**map_kwargs)
     body.get_y_map(**map_kwargs)
 
-    import jax
-
     rng = np.random.default_rng(0)
     out = {}
+    sync = None
     n_stream = max(n_runs * 4, 16)
     for name, interp in (('linear', 'linear'), ('cubic', 'cubic')):
         img = rng.normal(size=(size, size))
         m = body.map_img(img, interpolation=interp, **map_kwargs)
-        jax.block_until_ready(m)  # warm/compile
+        if sync is None:
+            sync = _make_sync(m)
+        sync(m)  # warm/compile
         assert m.shape == (720, 1440), m.shape
         # Default-path per-frame cost: map_img returns device-resident
         # maps and dispatches asynchronously, so a stream of fresh frames
         # pipelines (host solve-free: coefficients are solved on device);
-        # block on the final result and amortise.
+        # prove completion of the final result and amortise.
         frames = [rng.normal(size=(size, size)) for _ in range(n_stream)]
         t0 = time.time()
         for f in frames:
             m = body.map_img(f, interpolation=interp, **map_kwargs)
-        jax.block_until_ready(m)
+        sync(m)
         out[f'map_{name}_ms_per_frame'] = round(
             (time.time() - t0) / n_stream * 1e3, 3
         )
@@ -139,33 +175,29 @@ def bench_map(n_runs: int) -> dict:
     # 'smooth' (monotone PCHIP) mode, also fully device-resident
     img = rng.normal(size=(size, size))
     m = body.map_img(img, interpolation='smooth', **map_kwargs)
-    jax.block_until_ready(m)  # warm/compile
+    sync(m)  # warm/compile
     frames = [rng.normal(size=(size, size)) for _ in range(n_stream)]
     t0 = time.time()
     for f in frames:
         m = body.map_img(f, interpolation='smooth', **map_kwargs)
-    jax.block_until_ready(m)
+    sync(m)
     out['map_smooth_ms_per_frame'] = round(
         (time.time() - t0) / n_stream * 1e3, 3
     )
 
     # throughput mode: a cube maps all frames in ONE batched device
     # program, and ``as_numpy=False`` leaves the result on device - this
-    # measures the reprojection itself. (The per-frame numbers above are
-    # bound by the remote-TPU transport: the tunnel compresses transfers,
-    # so incompressible noise frames move at ~20 MB/s - a local PCIe host
-    # would not see that cost.)
-    import jax
-
+    # measures the reprojection itself.
     n_cube = 16
     cube = rng.normal(size=(n_cube, size, size))
     m = body.map_img(cube, interpolation='cubic', as_numpy=False,
                      **map_kwargs)
-    jax.block_until_ready(m)  # warm
+    cube_sync = _make_sync(m)
+    cube_sync(m)  # warm
     t0 = time.time()
-    m = body.map_img(cube, interpolation='cubic', as_numpy=False,
+    m = body.map_img(cube * 1.000001, interpolation='cubic', as_numpy=False,
                      **map_kwargs)
-    jax.block_until_ready(m)
+    cube_sync(m)
     assert m.shape == (n_cube, 720, 1440), m.shape
     out['map_cubic_cube_device_ms_per_frame'] = round(
         (time.time() - t0) / n_cube * 1e3, 3

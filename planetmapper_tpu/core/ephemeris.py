@@ -44,6 +44,26 @@ from .timebase import SPEED_OF_LIGHT_KM_S as CLIGHT
 
 SSB = 0
 
+#: Concrete (non-traced) calls whose largest input is at most this many
+#: elements run on the local CPU backend: through a remote-accelerator
+#: transport a scalar dispatch+fetch costs orders of magnitude more than
+#: the compute (first execution additionally uploads the program and its
+#: embedded ephemeris constants through the tunnel).
+_SMALL_CALL_ELEMENTS = 4096
+
+
+def _host_device():
+    """Context manager selecting the local CPU backend (no-op without one)."""
+    import contextlib
+
+    import jax
+
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:  # pragma: no cover - CPU backend always exists
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
 
 class InsufficientDataError(Exception):
     """No SPK segment covers the requested body/time (SpiceSPKINSUFFDATA)."""
@@ -347,6 +367,11 @@ class Ephemeris:
         fn = self.state_function(target, observer, abcorr, et_ref)
         import jax.numpy as jnp
 
+        if et_arr.size <= _SMALL_CALL_ELEMENTS:
+            # Scalar/navigation-scale call: keep it on the local CPU
+            # backend (see _SMALL_CALL_ELEMENTS note above)
+            with _host_device():
+                return fn(jnp.asarray(et_arr))
         return fn(jnp.asarray(et_arr))
 
     def spkpos(self, target: int, observer: int, et, abcorr: str = 'CN'):
