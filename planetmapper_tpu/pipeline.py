@@ -568,16 +568,26 @@ def _mixed_impl_fn(
         f32 = jnp.float32
 
         # ------- f64 preamble: rays + recentred geometry (mul/add only) --
-        xg = lax.broadcasted_iota(jnp.float64, (ny, nx), 1)
-        yg = lax.broadcasted_iota(jnp.float64, (ny, nx), 0) + row0
-        ang_x = (
-            xy2angular[0, 0] * xg + xy2angular[0, 1] * yg + xy2angular[0, 2]
-        )
-        ang_y = (
-            xy2angular[1, 0] * xg + xy2angular[1, 1] * yg + xy2angular[1, 2]
-        )
-        a = -ang_x * (DEG / 3600.0)
-        b = ang_y * (DEG / 3600.0)
+        # The pixel->angular affine, the arcsec->rad scaling and the
+        # km-plane affine below are all SEPARABLE in x and y, so each 2D
+        # f64 field collapses to one emulated-f64 broadcast add per pixel
+        # over precomputed 1D row/column terms (an emulated f64 mul/add
+        # costs ~25 f32 ops on TPU, so the direct 2-mul+2-add form paid
+        # ~5x this per field). Reassociating the affine changes results
+        # by <=1 ulp.
+        xg32 = lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
+        yg32 = lax.broadcasted_iota(jnp.float32, (ny, nx), 0) + jnp.asarray(
+            row0, jnp.float32
+        )  # rows/cols are < 2^24: exact in f32
+        x1 = lax.iota(jnp.float64, nx)
+        y1 = lax.iota(jnp.float64, ny) + row0
+        angx_col = xy2angular[0, 0] * x1 + xy2angular[0, 2]  # (nx,)
+        angx_row = xy2angular[0, 1] * y1  # (ny,)
+        angy_col = xy2angular[1, 0] * x1 + xy2angular[1, 2]
+        angy_row = xy2angular[1, 1] * y1
+        k_rad = DEG / 3600.0
+        a = (-k_rad * angx_row)[:, None] + (-k_rad * angx_col)[None, :]
+        b = (k_rad * angy_row)[:, None] + (k_rad * angy_col)[None, :]
         # Small-angle series for the ray deviation from the boresight
         # (|a|,|b| < ~0.05 rad for any plausible frame; error < 1e-17)
         a2 = a * a
@@ -696,12 +706,16 @@ def _mixed_impl_fn(
         dist = jnp.where(found, dist, anchors['target_lt'] * CLIGHT)
 
         if optimize_speed:
-            x0 = disc[0]
-            y0 = disc[1]
-            r0 = disc[2]
-            r_cutoff = r0 * jnp.max(radii) / re * 1.05 + 1.0
-            r2_px = (xg - x0) ** 2 + (yg - y0) ** 2
-            off = r2_px > r_cutoff**2
+            # f32 mask arithmetic: the cutoff carries a 1.05x + 1 px
+            # margin, far beyond f32 rounding of pixel distances
+            x0 = disc[0].astype(f32)
+            y0 = disc[1].astype(f32)
+            r0 = disc[2].astype(f32)
+            r_cutoff = r0 * (jnp.max(radii) / re).astype(f32) * f32(
+                1.05
+            ) + f32(1.0)
+            r2_px = (xg32 - x0) ** 2 + (yg32 - y0) ** 2
+            off = r2_px > r_cutoff * r_cutoff
             spoint = jnp.where(off[..., None], jnp.nan, spoint)
             found = found & ~off
 
@@ -778,12 +792,18 @@ def _mixed_impl_fn(
 
         # ------- pixel / km / angular (f64 affine: the rotation mixes two
         # ~1e5 km terms that cancel along the axes, so f32 would leave
-        # ~8e-3 km absolute errors exactly where KM-X/Y pass through 0) --
-        out['PIXEL-X'] = xg
-        out['PIXEL-Y'] = yg
+        # ~8e-3 km absolute errors exactly where KM-X/Y pass through 0).
+        # Separable like the angular affine: 1D row/column terms combined
+        # with one f64 broadcast add per pixel --
+        out['PIXEL-X'] = xg32
+        out['PIXEL-Y'] = yg32
         m2 = anchors['angular2km']
-        km_x = m2[0, 0] * ang_x + m2[0, 1] * ang_y
-        km_y = m2[1, 0] * ang_x + m2[1, 1] * ang_y
+        km_x = (m2[0, 0] * angx_row + m2[0, 1] * angy_row)[:, None] + (
+            m2[0, 0] * angx_col + m2[0, 1] * angy_col
+        )[None, :]
+        km_y = (m2[1, 0] * angx_row + m2[1, 1] * angy_row)[:, None] + (
+            m2[1, 0] * angx_col + m2[1, 1] * angy_col
+        )[None, :]
         out['KM-X'] = km_x
         out['KM-Y'] = km_y
         km_per_arcsec = 2.0 * re / (
