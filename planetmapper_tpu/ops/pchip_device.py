@@ -218,14 +218,28 @@ def _pchip_axis(jnp, lax, values, n_eval: int, k_rep: int):
     return jnp.where(enough, result, jnp.nan)
 
 
+#: Tiled-window sampling parameters: maps are cut into _TILE x _TILE
+#: point tiles; each tile's samples hit a localized patch of the
+#: oversampled grid, so its one-hot matmuls contract against a
+#: _WIN x _WIN dynamic window instead of the full grid (8-10x fewer
+#: MXU flops at the default 5x oversampling). Tiles whose footprint
+#: exceeds the window (rare: pathological projections) fall back to the
+#: full-grid contraction via lax.cond.
+_TILE = 64
+_WIN = 256
+#: Grids below this cell count are cheap enough to contract whole.
+_TILING_MIN_CELLS = 160_000
+
+
 @functools.lru_cache(maxsize=None)
 def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
-               ky_rep: int, kx_rep: int, propagate_nan: bool):
+               ky_rep: int, kx_rep: int, propagate_nan: bool,
+               out_shape: tuple):
     """
     Jitted end-to-end 'smooth' program for one (image-shape, map-limits,
     oversampling) configuration: box slice, row PCHIP, column PCHIP,
-    chunked bilinear sampling with scipy's NaN-corner semantics, and the
-    4-neighbour NaN propagation mask.
+    tiled/chunked bilinear sampling with scipy's NaN-corner semantics,
+    and the 4-neighbour NaN propagation mask.
     """
     import jax
     import jax.numpy as jnp
@@ -238,23 +252,22 @@ def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
     x_step = (nx_b - 1) / (n_xs - 1) if n_xs > 1 else 1.0
     y_step = (ny_b - 1) / (n_ys - 1) if n_ys > 1 else 1.0
 
-    def sample_chunk(grid_f32, grid_nan, y, x, valid, img_nan):
-        # bilinear with scipy RegularGridInterpolator semantics on the
-        # uniform oversampled grid (box coordinates); one-hot matmuls
-        # instead of gathers
-        yb = (y - float(iy0)) / y_step
-        xb = (x - float(ix0)) / x_step
-        inside = (
-            (yb >= 0.0) & (yb <= n_ys - 1) & (xb >= 0.0) & (xb <= n_xs - 1)
-        )
-        iy = jnp.clip(jnp.floor(yb), 0, max(n_ys - 2, 0))
-        ix = jnp.clip(jnp.floor(xb), 0, max(n_xs - 2, 0))
-        ty = (yb - iy).astype(jnp.float32)
-        tx = (xb - ix).astype(jnp.float32)
+    def bilinear(grid_f32, grid_nan, ybl, xbl, mask):
+        """
+        Bilinear one-hot contraction of ``grid_f32``/``grid_nan`` (shapes
+        (NY, NX)) at local box coordinates ``ybl``/``xbl``; scipy
+        RegularGridInterpolator semantics (any NaN corner -> NaN).
+        ``mask`` already encodes validity + the global inside test.
+        """
+        NY, NX = grid_f32.shape
+        iy = jnp.clip(jnp.floor(ybl), 0, max(NY - 2, 0))
+        ix = jnp.clip(jnp.floor(xbl), 0, max(NX - 2, 0))
+        ty = (ybl - iy).astype(jnp.float32)
+        tx = (xbl - ix).astype(jnp.float32)
         iyi = iy.astype(jnp.int32)
         ixi = ix.astype(jnp.int32)
-        jy = jnp.arange(n_ys, dtype=jnp.int32)[None, :]
-        jx = jnp.arange(n_xs, dtype=jnp.int32)[None, :]
+        jy = jnp.arange(NY, dtype=jnp.int32)[None, :]
+        jx = jnp.arange(NX, dtype=jnp.int32)[None, :]
         oh_y0 = (jy == iyi[:, None]).astype(jnp.float32)
         oh_y1 = (jy == (iyi + 1)[:, None]).astype(jnp.float32)
         oh_x0 = (jx == ixi[:, None]).astype(jnp.float32)
@@ -271,29 +284,91 @@ def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
             jnp.matmul(cy, grid_nan, precision=lax.Precision.HIGHEST) * cx,
             axis=-1,
         ) > 0.5
-        mask = valid & inside & ~nan_hit
+        return jnp.where(mask & ~nan_hit, val, jnp.nan)
+
+    def img_nan_mask(y, x, img_nan, mask):
+        """4-neighbour NaN test on the ORIGINAL image grid."""
+        y0n = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ny - 1)
+        y1n = jnp.clip(jnp.ceil(y).astype(jnp.int32), 0, ny - 1)
+        x0n = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx - 1)
+        x1n = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, nx - 1)
+        jyn = jnp.arange(ny, dtype=jnp.int32)[None, :]
+        jxn = jnp.arange(nx, dtype=jnp.int32)[None, :]
+        uy = (
+            (jyn == y0n[:, None]) | (jyn == y1n[:, None])
+        ).astype(jnp.float32)
+        ux = (
+            (jxn == x0n[:, None]) | (jxn == x1n[:, None])
+        ).astype(jnp.float32)
+        outside = (x < 0.0) | (y < 0.0) | (x > nx - 1) | (y > ny - 1)
+        cnt = jnp.sum(
+            jnp.matmul(uy, img_nan, precision=lax.Precision.HIGHEST) * ux,
+            axis=-1,
+        )
+        return mask & ~(outside | (cnt > 0.5))
+
+    def sample_chunk(grid_f32, grid_nan, y, x, valid, img_nan):
+        yb = (y - float(iy0)) / y_step
+        xb = (x - float(ix0)) / x_step
+        inside = (
+            (yb >= 0.0) & (yb <= n_ys - 1) & (xb >= 0.0) & (xb <= n_xs - 1)
+        )
+        mask = valid & inside
         if propagate_nan:
-            y0n = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ny - 1)
-            y1n = jnp.clip(jnp.ceil(y).astype(jnp.int32), 0, ny - 1)
-            x0n = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx - 1)
-            x1n = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, nx - 1)
-            jyn = jnp.arange(ny, dtype=jnp.int32)[None, :]
-            jxn = jnp.arange(nx, dtype=jnp.int32)[None, :]
-            uy = (
-                (jyn == y0n[:, None]) | (jyn == y1n[:, None])
-            ).astype(jnp.float32)
-            ux = (
-                (jxn == x0n[:, None]) | (jxn == x1n[:, None])
-            ).astype(jnp.float32)
-            outside = (x < 0.0) | (y < 0.0) | (x > nx - 1) | (y > ny - 1)
-            cnt = jnp.sum(
-                jnp.matmul(
-                    uy, img_nan, precision=lax.Precision.HIGHEST
-                ) * ux,
-                axis=-1,
-            )
-            mask = mask & ~(outside | (cnt > 0.5))
-        return jnp.where(mask, val, jnp.nan)
+            mask = img_nan_mask(y, x, img_nan, mask)
+        return bilinear(grid_f32, grid_nan, yb, xb, mask)
+
+    w_y = min(_WIN, n_ys)
+    w_x = min(_WIN, n_xs)
+
+    def sample_tile(grid_f32, grid_nan, y, x, valid, img_nan):
+        yb = (y - float(iy0)) / y_step
+        xb = (x - float(ix0)) / x_step
+        inside = (
+            (yb >= 0.0) & (yb <= n_ys - 1) & (xb >= 0.0) & (xb <= n_xs - 1)
+        )
+        care = valid & inside
+        mask = care
+        if propagate_nan:
+            mask = img_nan_mask(y, x, img_nan, mask)
+        big = float(n_ys + n_xs + 10)
+        oy = jnp.clip(
+            jnp.floor(jnp.min(jnp.where(care, yb, big))).astype(jnp.int32)
+            - 1,
+            0, n_ys - w_y,
+        )
+        ox = jnp.clip(
+            jnp.floor(jnp.min(jnp.where(care, xb, big))).astype(jnp.int32)
+            - 1,
+            0, n_xs - w_x,
+        )
+        iy_g = jnp.clip(jnp.floor(yb), 0, max(n_ys - 2, 0)).astype(
+            jnp.int32
+        )
+        ix_g = jnp.clip(jnp.floor(xb), 0, max(n_xs - 2, 0)).astype(
+            jnp.int32
+        )
+        ok = (
+            (iy_g >= oy) & (iy_g <= oy + w_y - 2)
+            & (ix_g >= ox) & (ix_g <= ox + w_x - 2)
+        )
+        fits = jnp.all(jnp.where(care, ok, True))
+
+        def windowed(_):
+            gw = lax.dynamic_slice(grid_f32, (oy, ox), (w_y, w_x))
+            gnw = lax.dynamic_slice(grid_nan, (oy, ox), (w_y, w_x))
+            return bilinear(gw, gnw, yb - oy, xb - ox, mask)
+
+        def full(_):
+            return bilinear(grid_f32, grid_nan, yb, xb, mask)
+
+        return lax.cond(fits, windowed, full, None)
+
+    use_tiles = (
+        len(out_shape) == 2
+        and n_ys * n_xs > _TILING_MIN_CELLS
+        and out_shape[0] * out_shape[1] >= _TILE * _TILE
+    )
 
     def fn(img, y, x, valid):
         box = img[iy0:iy1, ix0:ix1].astype(jnp.float64)
@@ -311,6 +386,40 @@ def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
         y = y.astype(jnp.float64)
         x = x.astype(jnp.float64)
         n = y.shape[0]
+
+        if use_tiles:
+            my, mx = out_shape
+            my_p = -(-my // _TILE) * _TILE
+            mx_p = -(-mx // _TILE) * _TILE
+
+            def to_tiles(a, fill):
+                a2 = jnp.pad(
+                    a.reshape(my, mx),
+                    ((0, my_p - my), (0, mx_p - mx)),
+                    constant_values=fill,
+                )
+                return (
+                    a2.reshape(my_p // _TILE, _TILE, mx_p // _TILE, _TILE)
+                    .swapaxes(1, 2)
+                    .reshape(-1, _TILE * _TILE)
+                )
+
+            yt = to_tiles(y, 0.0)
+            xt = to_tiles(x, 0.0)
+            vt = to_tiles(valid, False)
+            out = lax.map(
+                lambda a: sample_tile(
+                    grid_f32, grid_nan, a[0], a[1], a[2], img_nan
+                ),
+                (yt, xt, vt),
+            )
+            out = (
+                out.reshape(my_p // _TILE, mx_p // _TILE, _TILE, _TILE)
+                .swapaxes(1, 2)
+                .reshape(my_p, mx_p)[:my, :mx]
+            )
+            return out.reshape(-1).astype(jnp.float32)
+
         n_c = max(n_ys, n_xs)
         chunk = int(min(max(n, 1), max(8192, (1 << 27) // n_c)))
         n_chunks = -(-n // chunk)
@@ -374,7 +483,8 @@ def smooth_interpolation_device(
 
     x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
     fn = _smooth_fn(
-        ny, nx, iy0, iy1, ix0, ix1, ky_rep, kx_rep, propagate_nan
+        ny, nx, iy0, iy1, ix0, ix1, ky_rep, kx_rep, propagate_nan,
+        tuple(out_shape),
     )
     vals = fn(jnp.asarray(img, dtype=jnp.float64), y_dev, x_dev, valid_dev)
     vals = vals.reshape(out_shape)

@@ -826,6 +826,47 @@ class TestDeviceSmooth:
         assert np.array_equal(np.isnan(out), np.isnan(ref))
         np.testing.assert_allclose(out, ref, atol=2e-5, equal_nan=True)
 
+    @pytest.mark.parametrize('propagate_nan', [True, False])
+    def test_tiled_window_path_matches_host(self, propagate_nan):
+        # Large oversampled grid + map-sized sample field: engages the
+        # tiled-window sampler (_TILE/_WIN in pchip_device). One tile is
+        # scattered across the whole grid to force its full-grid
+        # fallback branch.
+        from planetmapper_tpu.ops import interp, pchip_device
+
+        rng = np.random.default_rng(21)
+        img = rng.normal(size=(120, 110)).cumsum(axis=1) * 0.1
+        img[20:24, 30:37] = np.nan
+        img[0, :] = np.nan
+        # smooth (map-like) coordinate fields over a 72x80 output
+        v = np.linspace(0.0, 1.0, 72)[:, None]
+        u = np.linspace(0.0, 1.0, 80)[None, :]
+        x = 5.0 + 100.0 * (0.5 - 0.5 * np.cos(np.pi * u)) + 3.0 * v
+        y = 2.0 + 110.0 * v**1.2 + 4.0 * u * v
+        x = np.broadcast_to(x, (72, 80)).copy()
+        y = np.broadcast_to(y, (72, 80)).copy()
+        # scatter one tile's points over the full image -> fallback
+        x[64:, 64:] = rng.uniform(0, 109, x[64:, 64:].shape)
+        y[64:, 64:] = rng.uniform(0, 119, y[64:, 64:].shape)
+        # some invalid + out-of-box samples
+        x[0, :3] = np.nan
+        y[5, 5] = -20.0
+        # sanity: this configuration must actually use the tiled path
+        n_box = 120 * 5 - 4
+        assert n_box * (110 * 5 - 4) > pchip_device._TILING_MIN_CELLS
+        assert x.size >= pchip_device._TILE**2
+        ref = np.full(x.shape, np.nan)
+        interp.smooth_interpolation(
+            img, x, y, ref, propagate_nan=propagate_nan,
+            oversample_by=5, max_oversampled_img_size=10000,
+        )
+        out = pchip_device.smooth_interpolation_device(
+            img, x, y, propagate_nan=propagate_nan, oversample_by=5,
+            max_oversampled_img_size=10000,
+        )
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        np.testing.assert_allclose(out, ref, atol=2e-4, equal_nan=True)
+
     def test_oversample_fallback(self):
         # max_oversampled_img_size forces a lower (or unit) oversampling
         # factor; semantics must still match the host implementation
