@@ -176,54 +176,71 @@ def _weight_matrix(jnp, basis, i, k: int, n_c: int):
 #: bandwidth-bound; fall back to the gather evaluator.
 _ONEHOT_MAX_COEFFS = 1024
 
+#: Tiled-window sampling (same scheme as ops/pchip_device.py): 2D maps
+#: are cut into _TILE x _TILE point tiles whose samples hit a localized
+#: patch of the coefficient grid, so the one-hot contractions run
+#: against a dynamic window instead of the full grid. Engaged for grids
+#: above _TILING_MIN_CELLS coefficients; tiles whose footprint exceeds
+#: the window fall back to the full-grid contraction via lax.cond.
+_TILE = 64
+_WIN = 256
+_TILING_MIN_CELLS = 160_000
+
 
 def _make_onehot_eval(kx: int, ky: int, batched: bool,
-                      propagate_nan: bool):
+                      propagate_nan: bool, out_shape: tuple | None = None):
     """
     Build the shared gather-free evaluation body: ``(ty, tx, c2, nanf, y,
     x, valid) -> flat values`` with ``c2`` the (batched) f32 coefficient
     grid and ``nanf`` the f32 NaN-indicator grid. Used by both the
     host-coefficient (`_spline_eval_onehot_fn`) and device-solve
     (`_spline_solve_eval_fn`) jit programs.
+
+    ``out_shape``: static 2D shape of the sample field, enabling the
+    tiled-window contraction for large coefficient grids (see _TILE).
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    def chunk_eval(ty, tx, c2, nanf, y, x, valid):
-        # c2: (..., n_cy, n_cx) f32; nanf: (..., ny_i, nx_i) f32
-        n_cy = ty.shape[0] - ky - 1
-        n_cx = tx.shape[0] - kx - 1
+    def build_weights(ty, tx, y, x, n_cy, n_cx, cy_off, cx_off):
+        """One-hot spline weight matrices over a coefficient window
+        (``n_cy/n_cx`` wide, offset ``cy_off/cx_off``)."""
         yc = jnp.clip(y, ty[ky], ty[-ky - 1])
         xc = jnp.clip(x, tx[kx], tx[-kx - 1])
         by, iy, _ = _basis_onehot(jnp, lax, ty, ky, yc)
         bx, ix, _ = _basis_onehot(jnp, lax, tx, kx, xc)
-        wy = _weight_matrix(jnp, by, iy, ky, n_cy)
-        wx = _weight_matrix(jnp, bx, ix, kx, n_cx)
+        wy = _weight_matrix(jnp, by, iy - cy_off, ky, n_cy)
+        wx = _weight_matrix(jnp, bx, ix - cx_off, kx, n_cx)
+        return wy, wx, iy, ix
 
-        mask = valid
-        if propagate_nan:
-            ny_i, nx_i = nanf.shape[-2:]
-            y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ny_i - 1)
-            y1 = jnp.clip(jnp.ceil(y).astype(jnp.int32), 0, ny_i - 1)
-            x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx_i - 1)
-            x1 = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, nx_i - 1)
-            jy = jnp.arange(ny_i, dtype=jnp.int32)[None, :]
-            jx = jnp.arange(nx_i, dtype=jnp.int32)[None, :]
-            uy = (
-                (jy == y0[:, None]) | (jy == y1[:, None])
-            ).astype(jnp.float32)
-            ux = (
-                (jx == x0[:, None]) | (jx == x1[:, None])
-            ).astype(jnp.float32)
-            outside = (
-                (x < 0.0) | (y < 0.0) | (x > nx_i - 1) | (y > ny_i - 1)
-            )
+    def build_nan_indicators(y, x, ny_i, nx_i, ny_off, nx_off,
+                             ny_full, nx_full):
+        """4-neighbour indicator matrices over an image window
+        (``ny_i/nx_i`` wide, offset ``ny_off/nx_off``); clips against
+        the FULL image extent."""
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ny_full - 1)
+        y1 = jnp.clip(jnp.ceil(y).astype(jnp.int32), 0, ny_full - 1)
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx_full - 1)
+        x1 = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, nx_full - 1)
+        jy = jnp.arange(ny_i, dtype=jnp.int32)[None, :] + ny_off
+        jx = jnp.arange(nx_i, dtype=jnp.int32)[None, :] + nx_off
+        uy = (
+            (jy == y0[:, None]) | (jy == y1[:, None])
+        ).astype(jnp.float32)
+        ux = (
+            (jx == x0[:, None]) | (jx == x1[:, None])
+        ).astype(jnp.float32)
+        outside = (
+            (x < 0.0) | (y < 0.0) | (x > nx_full - 1) | (y > ny_full - 1)
+        )
+        return uy, ux, outside, (y0, y1, x0, x1)
 
+    def contract(c2, nanf, wy, wx, uy, ux, outside, valid):
         def per_frame(c2_f, nanf_f):
             rows = jnp.matmul(wy, c2_f, precision=lax.Precision.HIGHEST)
             val = jnp.sum(rows * wx, axis=-1)
-            m = mask
+            m = valid
             if propagate_nan:
                 cnt = jnp.sum(
                     jnp.matmul(
@@ -238,15 +255,179 @@ def _make_onehot_eval(kx: int, ky: int, batched: bool,
             return jax.vmap(per_frame)(c2, nanf)
         return per_frame(c2, nanf)
 
+    def chunk_eval(ty, tx, c2, nanf, y, x, valid):
+        # c2: (..., n_cy, n_cx) f32; nanf: (..., ny_i, nx_i) f32
+        n_cy = ty.shape[0] - ky - 1
+        n_cx = tx.shape[0] - kx - 1
+        wy, wx, _, _ = build_weights(ty, tx, y, x, n_cy, n_cx, 0, 0)
+        uy = ux = outside = None
+        if propagate_nan:
+            ny_i, nx_i = nanf.shape[-2:]
+            uy, ux, outside, _ = build_nan_indicators(
+                y, x, ny_i, nx_i, 0, 0, ny_i, nx_i
+            )
+        return contract(c2, nanf, wy, wx, uy, ux, outside, valid)
+
+    def tile_eval(ty64, tx64, c2, nanf, y64, x64, valid):
+        # ``ty64``/``y64`` etc. arrive in float64: the basis recurrence
+        # runs on DIFFERENCES (u - t[i]), which cancel catastrophically
+        # in f32 at large pixel coordinates (~3e-5 px at a 500-px grid,
+        # growing linearly). Each tile therefore shifts coordinates AND
+        # knots by the tile's coordinate floor in f64 first - window-
+        # local magnitudes make the f32 basis exact to ~1e-8 regardless
+        # of grid size.
+        n_cy = ty64.shape[0] - ky - 1
+        n_cx = tx64.shape[0] - kx - 1
+        ny_i, nx_i = nanf.shape[-2:]
+        w_cy = min(_WIN, n_cy)
+        w_cx = min(_WIN, n_cx)
+        w_ny = min(_WIN, ny_i)
+        w_nx = min(_WIN, nx_i)
+
+        big64 = jnp.float64(n_cy + n_cx + ny_i + nx_i)
+        s_y = jnp.floor(jnp.min(jnp.where(valid, y64, big64)))
+        s_x = jnp.floor(jnp.min(jnp.where(valid, x64, big64)))
+        y = (y64 - s_y).astype(jnp.float32)
+        x = (x64 - s_x).astype(jnp.float32)
+        ty = (ty64 - s_y).astype(jnp.float32)
+        tx = (tx64 - s_x).astype(jnp.float32)
+
+        # Knot interval indices decide the coefficient footprint
+        yc = jnp.clip(y, ty[ky], ty[-ky - 1])
+        xc = jnp.clip(x, tx[kx], tx[-kx - 1])
+        by, iy, _ = _basis_onehot(jnp, lax, ty, ky, yc)
+        bx, ix, _ = _basis_onehot(jnp, lax, tx, kx, xc)
+        big = jnp.int32(n_cy + n_cx + ny_i + nx_i)
+
+        def tmin(v, care):
+            return jnp.min(jnp.where(care, v, big))
+
+        def tmax(v, care):
+            return jnp.max(jnp.where(care, v, -1))
+
+        care = valid
+        oy = jnp.clip(tmin(iy, care) - ky, 0, n_cy - w_cy)
+        ox = jnp.clip(tmin(ix, care) - kx, 0, n_cx - w_cx)
+        fits = (
+            (tmax(iy, care) <= oy + w_cy - 1)
+            & (tmax(ix, care) <= ox + w_cx - 1)
+        )
+        # Unshifted f32 coordinates for image-grid (NaN) indexing and for
+        # the full-grid fallback (same values the untiled path uses)
+        yg = y64.astype(jnp.float32)
+        xg = x64.astype(jnp.float32)
+        if propagate_nan:
+            _, _, outside, (y0, y1, x0, x1) = build_nan_indicators(
+                yg, xg, 1, 1, 0, 0, ny_i, nx_i
+            )
+            care_n = care & ~outside
+            oyn = jnp.clip(tmin(y0, care_n), 0, ny_i - w_ny)
+            oxn = jnp.clip(tmin(x0, care_n), 0, nx_i - w_nx)
+            fits = fits & (
+                (tmax(y1, care_n) <= oyn + w_ny - 1)
+                & (tmax(x1, care_n) <= oxn + w_nx - 1)
+            )
+        else:
+            oyn = oxn = jnp.int32(0)
+
+        def windowed(_):
+            wy = _weight_matrix(jnp, by, iy - oy, ky, w_cy)
+            wx = _weight_matrix(jnp, bx, ix - ox, kx, w_cx)
+            if batched:
+                c2_w = lax.dynamic_slice(
+                    c2, (0, oy, ox), (c2.shape[0], w_cy, w_cx)
+                )
+            else:
+                c2_w = lax.dynamic_slice(c2, (oy, ox), (w_cy, w_cx))
+            uy = ux = outside_w = None
+            nanf_w = nanf
+            if propagate_nan:
+                uy, ux, outside_w, _ = build_nan_indicators(
+                    yg, xg, w_ny, w_nx, oyn, oxn, ny_i, nx_i
+                )
+                if batched:
+                    nanf_w = lax.dynamic_slice(
+                        nanf, (0, oyn, oxn),
+                        (nanf.shape[0], w_ny, w_nx),
+                    )
+                else:
+                    nanf_w = lax.dynamic_slice(
+                        nanf, (oyn, oxn), (w_ny, w_nx)
+                    )
+            return contract(
+                c2_w, nanf_w, wy, wx, uy, ux, outside_w, valid
+            )
+
+        def full(_):
+            return chunk_eval(
+                ty64.astype(jnp.float32), tx64.astype(jnp.float32),
+                c2, nanf, yg, xg, valid,
+            )
+
+        return lax.cond(fits, windowed, full, None)
+
+    n_tiled_cells = 0
+    if out_shape is not None and len(out_shape) == 2:
+        n_tiled_cells = out_shape[0] * out_shape[1]
+
     def eval_all(ty, tx, c2, nanf, y, x, valid):
-        ty = ty.astype(jnp.float32)
-        tx = tx.astype(jnp.float32)
-        y = y.astype(jnp.float32)
-        x = x.astype(jnp.float32)
         n = y.shape[0]
         n_cy = c2.shape[-2]
         n_cx = c2.shape[-1]
         n_c = max(n_cy, n_cx)
+
+        if (
+            n_tiled_cells >= _TILE * _TILE
+            and n_cy * n_cx > _TILING_MIN_CELLS
+        ):
+            # keep f64 coordinates/knots: tile_eval re-centres them per
+            # tile before its f32 cast
+            ty64 = ty.astype(jnp.float64)
+            tx64 = tx.astype(jnp.float64)
+            y64 = y.astype(jnp.float64)
+            x64 = x.astype(jnp.float64)
+            my, mx = out_shape
+            my_p = -(-my // _TILE) * _TILE
+            mx_p = -(-mx // _TILE) * _TILE
+
+            def to_tiles(a, fill):
+                a2 = jnp.pad(
+                    a.reshape(my, mx),
+                    ((0, my_p - my), (0, mx_p - mx)),
+                    constant_values=fill,
+                )
+                return (
+                    a2.reshape(my_p // _TILE, _TILE, mx_p // _TILE, _TILE)
+                    .swapaxes(1, 2)
+                    .reshape(-1, _TILE * _TILE)
+                )
+
+            out = lax.map(
+                lambda a: tile_eval(
+                    ty64, tx64, c2, nanf, a[0], a[1], a[2]
+                ),
+                (to_tiles(y64, 0.0), to_tiles(x64, 0.0),
+                 to_tiles(valid, False)),
+            )
+            # out: (n_tiles, [frames,] T*T) -> [frames,] my*mx
+            if batched:
+                out = jnp.moveaxis(out, 1, 0)
+            out = (
+                out.reshape(
+                    out.shape[:-2]
+                    + (my_p // _TILE, mx_p // _TILE, _TILE, _TILE)
+                )
+                .swapaxes(-3, -2)
+                .reshape(out.shape[:-2] + (my_p, mx_p))[..., :my, :mx]
+            )
+            return out.reshape(out.shape[:-2] + (my * mx,)).astype(
+                jnp.float32
+            )
+
+        ty = ty.astype(jnp.float32)
+        tx = tx.astype(jnp.float32)
+        y = y.astype(jnp.float32)
+        x = x.astype(jnp.float32)
         # ~0.5 GB for the largest (frames, chunk, n_c) intermediate:
         # small grids evaluate in few chunks (lax.map serializes chunks,
         # so fewer/bigger chunks keep the device busy), while cube inputs
@@ -276,7 +457,8 @@ def _make_onehot_eval(kx: int, ky: int, batched: bool,
 
 @functools.lru_cache(maxsize=None)
 def _spline_eval_onehot_fn(kx: int, ky: int, batched: bool,
-                           propagate_nan: bool):
+                           propagate_nan: bool,
+                           out_shape: tuple | None = None):
     """
     Jitted gather-free spline evaluator (MXU formulation).
 
@@ -297,7 +479,7 @@ def _spline_eval_onehot_fn(kx: int, ky: int, batched: bool,
     import jax
     import jax.numpy as jnp
 
-    eval_all = _make_onehot_eval(kx, ky, batched, propagate_nan)
+    eval_all = _make_onehot_eval(kx, ky, batched, propagate_nan, out_shape)
 
     def fn(ty, tx, c, nans, y, x, valid):
         n_cy = ty.shape[0] - ky - 1
@@ -374,7 +556,8 @@ def _grid_spline_solver(ny: int, nx: int, kx: int, ky: int):
 
 @functools.lru_cache(maxsize=None)
 def _spline_solve_eval_fn(kx: int, ky: int, batched: bool,
-                          propagate_nan: bool):
+                          propagate_nan: bool,
+                          out_shape: tuple | None = None):
     """
     Jitted end-to-end map-reprojection program: NaN infill, collocation
     solve (two small matmuls against the staged inverses) and the
@@ -388,7 +571,7 @@ def _spline_solve_eval_fn(kx: int, ky: int, batched: bool,
     import jax.numpy as jnp
     from jax import lax
 
-    eval_all = _make_onehot_eval(kx, ky, batched, propagate_nan)
+    eval_all = _make_onehot_eval(kx, ky, batched, propagate_nan, out_shape)
 
     def fn(ty, tx, ainv_y, ainv_x, frames, y, x, valid):
         def prep(frame):
@@ -519,7 +702,10 @@ def spline_interpolation_device(
                         'be corrected'
                     )
         ty, tx, ainv_y, ainv_x = _grid_spline_solver(ny_i, nx_i, kx, ky)
-        fn = _spline_solve_eval_fn(kx, ky, cube, propagate_nan)
+        fn = _spline_solve_eval_fn(
+            kx, ky, cube, propagate_nan,
+            tuple(x_map.shape) if x_map.ndim == 2 else None,
+        )
         vals = fn(
             ty, tx, ainv_y, ainv_x,
             jnp.asarray(img, dtype=jnp.float64), y_dev, x_dev,
@@ -545,8 +731,18 @@ def spline_interpolation_device(
 
     def pick_eval(ty, tx, batched):
         n_c = max(ty.shape[0] - ky - 1, tx.shape[0] - kx - 1)
-        if n_c <= _ONEHOT_MAX_COEFFS:
-            return _spline_eval_onehot_fn(kx, ky, batched, propagate_nan)
+        out_shape = tuple(x_map.shape) if x_map.ndim == 2 else None
+        # The tiled-window contraction keeps the one-hot (MXU) evaluator
+        # viable for arbitrarily large coefficient grids: weight matrices
+        # are window-wide, not grid-wide
+        tiled = (
+            out_shape is not None
+            and x_map.size >= _TILE * _TILE
+        )
+        if n_c <= _ONEHOT_MAX_COEFFS or tiled:
+            return _spline_eval_onehot_fn(
+                kx, ky, batched, propagate_nan, out_shape
+            )
         return _spline_eval_fn(kx, ky, batched, propagate_nan)
 
     results = np.full((nz,) + x_map.shape, np.nan)

@@ -671,6 +671,100 @@ class TestDeviceInterp:
         )
         np.testing.assert_allclose(out, ref, atol=1e-5)
 
+    @pytest.mark.parametrize('propagate_nan', [True, False])
+    def test_tiled_window_large_grid(self, propagate_nan):
+        # Grid above _TILING_MIN_CELLS + map-sized sample field: engages
+        # the tiled-window one-hot contraction (device-solve s=0 path).
+        # One tile is scattered to exercise the full-grid fallback.
+        import scipy.interpolate
+
+        from planetmapper_tpu.ops import interp_device
+
+        rng = np.random.default_rng(31)
+        img = rng.normal(size=(460, 430)).cumsum(axis=0) * 0.05
+        if propagate_nan:
+            img[100:104, 200:207] = np.nan
+        assert 460 * 430 > interp_device._TILING_MIN_CELLS
+        v = np.linspace(0.0, 1.0, 72)[:, None]
+        u = np.linspace(0.0, 1.0, 80)[None, :]
+        x = 5.0 + 400.0 * (0.5 - 0.5 * np.cos(np.pi * u)) + 12.0 * v
+        y = 2.0 + 440.0 * v**1.3 + 9.0 * u * v
+        x = np.broadcast_to(x, (72, 80)).copy()
+        y = np.broadcast_to(y, (72, 80)).copy()
+        x[64:, 64:] = rng.uniform(0, 429, x[64:, 64:].shape)
+        y[64:, 64:] = rng.uniform(0, 459, y[64:, 64:].shape)
+        out = interp_device.spline_interpolation_device(
+            img, x, y, interpolation=3, warn_nan=False,
+            propagate_nan=propagate_nan, spline_smoothing=0,
+        )
+        from planetmapper_tpu.ops import interp
+
+        ref = np.full(x.shape, np.nan)
+        interp.spline_interpolation(
+            img, x, y, ref, interpolation=3, warn_nan=False,
+            propagate_nan=propagate_nan, spline_smoothing=0,
+        )
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        # f32 basis evaluation carries ~coordinate * 6e-8 px of effective
+        # sample-position rounding (same contract as the untiled device
+        # path; the tiled path's per-tile re-centring is tighter still)
+        scale = np.nanmax(np.abs(ref)) if np.isfinite(ref).any() else 1.0
+        np.testing.assert_allclose(
+            out, ref, atol=3e-5 * max(scale, 1.0), equal_nan=True
+        )
+
+    def test_tiled_window_beyond_onehot_gate(self):
+        # Coefficient grids past _ONEHOT_MAX_COEFFS previously fell back
+        # to the scalarized-gather evaluator; with tiling the MXU one-hot
+        # path handles them (host-FITPACK coefficients + tiled eval)
+        import scipy.interpolate
+
+        from planetmapper_tpu.ops import interp_device
+
+        n = interp_device._ONEHOT_MAX_COEFFS + 40
+        rng = np.random.default_rng(32)
+        img = rng.normal(size=(n, 80)).cumsum(axis=0) * 0.02
+        v = np.linspace(0.05, 0.95, 70)[:, None]
+        u = np.linspace(0.05, 0.95, 70)[None, :]
+        y = np.broadcast_to((n - 1) * v, (70, 70)).copy()
+        x = np.broadcast_to(79.0 * u + 0.5 * v, (70, 70)).copy()
+        out = interp_device.spline_interpolation_device(
+            img, x, y, interpolation=3, warn_nan=False,
+            propagate_nan=False, spline_smoothing=0,
+        )
+        sp = scipy.interpolate.RectBivariateSpline(
+            np.arange(n), np.arange(80), img, kx=3, ky=3, s=0
+        )
+        ref = sp.ev(y.ravel(), x.ravel()).reshape(x.shape)
+        np.testing.assert_allclose(
+            out, ref, atol=1e-5 * max(np.abs(ref).max(), 1.0)
+        )
+
+    def test_tiled_window_cube(self):
+        # Batched (cube) frames through the tiled contraction
+        import scipy.interpolate
+
+        from planetmapper_tpu.ops import interp_device
+
+        rng = np.random.default_rng(33)
+        cube = rng.normal(size=(3, 440, 420)).cumsum(axis=1) * 0.05
+        v = np.linspace(0.02, 0.98, 66)[:, None]
+        u = np.linspace(0.02, 0.98, 66)[None, :]
+        y = np.broadcast_to(439.0 * v, (66, 66)).copy()
+        x = np.broadcast_to(419.0 * u + 2.0 * v, (66, 66)).copy()
+        out = interp_device.spline_interpolation_device(
+            cube, x, y, interpolation=3, warn_nan=False,
+            propagate_nan=False, spline_smoothing=0,
+        )
+        for i in range(3):
+            sp = scipy.interpolate.RectBivariateSpline(
+                np.arange(440), np.arange(420), cube[i], kx=3, ky=3, s=0
+            )
+            ref = sp.ev(y.ravel(), x.ravel()).reshape(x.shape)
+            np.testing.assert_allclose(
+                out[i], ref, atol=3e-5 * max(np.abs(ref).max(), 1.0)
+            )
+
     def test_smoothing_cube_per_frame_knots(self):
         import scipy.interpolate
 
