@@ -48,6 +48,23 @@ import jax
 
 jax.config.update('jax_enable_x64', True)
 
+# In remote-TPU sessions the only XLA:CPU programs are tiny scalar helpers
+# (ctor-time ephemeris, host trig), so cap the CPU ISA below AVX512. This
+# is not about speed: XLA:CPU on AVX512 hosts embeds virtual tuning
+# features (+prefer-no-scatter/+prefer-no-gather) in AOT executables, and
+# its persistent-cache loader then logs a spurious machine-mismatch error
+# on EVERY cached reload (the host-feature probe never reports virtual
+# features, jaxlib 0.9 cpu_aot_loader.cc:210). Capping to AVX2 keeps those
+# flags out of the executables so warm starts are clean. XLA_FLAGS is
+# parsed at first compile, which is always after this import; respect any
+# user-provided value.
+if 'axon' in _os.environ.get('JAX_PLATFORMS', ''):
+    _flags = _os.environ.get('XLA_FLAGS', '')
+    if 'xla_cpu_max_isa' not in _flags:
+        _os.environ['XLA_FLAGS'] = (
+            f'{_flags} --xla_cpu_max_isa=AVX2'.strip()
+        )
+
 # Persistent compilation cache: geometry pipelines are compiled once per
 # (machine, backend, shape) and reused across processes. XLA compile times
 # dominate cold-start otherwise.
