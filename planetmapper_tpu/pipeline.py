@@ -599,23 +599,44 @@ def _mixed_impl_fn(
         dvx = dca + dcb + dca * dcb  # cos(a)cos(b) - 1
         dvy = sa * (1.0 + dcb)
         dvz = sb
-        # delta-ray in the J2000 obsvec frame: dvec @ m_ang
-        dd = jnp.stack(
+        # The f64 per-pixel core lives ENTIRELY in the rot0 (body-fixed,
+        # epoch tau0) frame: rotations preserve dots/norms and every
+        # downstream f64 consumer (intercept, lon/lat, limb, ring) wants
+        # body-frame vectors, so building the delta-ray directly as
+        # rot0 @ (dvec @ m_ang) against three precomputed constant
+        # columns removes the two per-pixel f64 constant-matrix matvecs
+        # (rot0 @ q_j, rot0 @ d_j) the J2000 formulation paid. J2000
+        # quantities (RA/Dec rays, illumination vectors) tolerate f32
+        # and are rebuilt cheaply below.
+        rc = rot0 @ m_ang.T  # columns: rot0 @ m_ang[i, :]
+        rdd = jnp.stack(
             [
-                dvx * m_ang[0, 0] + dvy * m_ang[1, 0] + dvz * m_ang[2, 0],
-                dvx * m_ang[0, 1] + dvy * m_ang[1, 1] + dvz * m_ang[2, 1],
-                dvx * m_ang[0, 2] + dvy * m_ang[1, 2] + dvz * m_ang[2, 2],
+                dvx * rc[0, 0] + dvy * rc[0, 1] + dvz * rc[0, 2],
+                dvx * rc[1, 0] + dvy * rc[1, 1] + dvz * rc[1, 2],
+                dvx * rc[2, 0] + dvy * rc[2, 1] + dvz * rc[2, 2],
+            ],
+            axis=-1,
+        )  # rot0 @ dd (f64)
+        rm0 = rot0 @ m0  # rot0 @ boresight
+        rrel0 = rot0 @ targ_rel0
+        tp = fm.dot3(jnp.broadcast_to(rrel0, rdd.shape), rdd)  # t_ca - t0
+        # delta-ray in J2000, f32 (feeds RA/Dec and the f32 sun/observer
+        # direction algebra only)
+        dvx32 = dvx.astype(jnp.float32)
+        dvy32 = dvy.astype(jnp.float32)
+        dvz32 = dvz.astype(jnp.float32)
+        m_ang32 = m_ang.astype(jnp.float32)
+        dd32 = jnp.stack(
+            [
+                dvx32 * m_ang32[0, 0] + dvy32 * m_ang32[1, 0]
+                + dvz32 * m_ang32[2, 0],
+                dvx32 * m_ang32[0, 1] + dvy32 * m_ang32[1, 1]
+                + dvz32 * m_ang32[2, 1],
+                dvx32 * m_ang32[0, 2] + dvy32 * m_ang32[1, 2]
+                + dvz32 * m_ang32[2, 2],
             ],
             axis=-1,
         )
-        d_j = m0 + dd  # unit ray, J2000 (f64)
-        tp = fm.dot3(jnp.broadcast_to(targ_rel0, dd.shape), dd)  # t_ca - t0
-        q_j = (
-            q0
-            + t_ca0 * dd
-            + tp[..., None] * m0
-            + tp[..., None] * dd
-        )  # ray closest-approach point relative to target centre (~1e5 km)
 
         # ------- factored rotation ingredients -----------------------------
         # rot(dtau) @ (q - v dtau) expands exactly (for the quadratic rot
@@ -630,17 +651,28 @@ def _mixed_impl_fn(
         rot0_32 = rot0.astype(f32)
         rot1_32 = rot1.astype(f32)
         rot2h_32 = rot2h.astype(f32)
-        q32 = q_j.astype(f32)
-        d32 = d_j.astype(f32)
         v32 = targ_vel0.astype(f32)
         inv_r32 = inv_radii.astype(f32)
         re32 = re.astype(f32)
-        q_bf0 = _const_matvec(rot0, q_j)  # f64, once
-        d_bf0 = _const_matvec(rot0, d_j)  # f64, once
-        r1q = _matvec(rot1_32, q32)  # f32 correction ingredients, once
-        r2q = _matvec(rot2h_32, q32)
-        r1d = _matvec(rot1_32, d32)
-        r2d = _matvec(rot2h_32, d32)
+        # Body-frame assembly, no per-pixel matvec: rot0 @ q_j expands
+        # over the q_j = q0 + (t_ca0 + tp) dd + tp m0 decomposition into
+        # precomputed rotated constants and the rdd field built above
+        q_bf0 = (
+            rot0 @ q0
+            + (t_ca0 + tp)[..., None] * rdd
+            + tp[..., None] * rm0
+        )
+        d_bf0 = rm0 + rdd
+        # rot1/rot2h act on J2000 vectors; against body-frame operands
+        # they become the constant products rot_k @ rot0^T
+        r1r0t_32 = (rot1 @ rot0.T).astype(f32)
+        r2hr0t_32 = (rot2h @ rot0.T).astype(f32)
+        q32 = q_bf0.astype(f32)
+        d32 = d_bf0.astype(f32)
+        r1q = _matvec(r1r0t_32, q32)  # f32 correction ingredients, once
+        r2q = _matvec(r2hr0t_32, q32)
+        r1d = _matvec(r1r0t_32, d32)
+        r2d = _matvec(r2hr0t_32, d32)
         rv0_32 = (rot0 @ targ_vel0).astype(f32)  # epoch-rate constants
         rv1_32 = (rot1 @ targ_vel0).astype(f32)
         rv2h_32 = (rot2h @ targ_vel0).astype(f32)
@@ -778,7 +810,7 @@ def _mixed_impl_fn(
 
         # ------- RA/Dec of the rays (f32 atan2: one ulp at ra ~ 2 pi is
         # 2.8e-5 deg, inside the contract; outputs are written f32 anyway)
-        dj32 = d_j.astype(f32)
+        dj32 = m0.astype(f32) + dd32
         ra = jnp.arctan2(dj32[..., 1], dj32[..., 0]).astype(jnp.float64)
         ra = jnp.where(ra < 0.0, ra + 2.0 * jnp.pi, ra)
         dec = jnp.arctan2(
@@ -945,18 +977,21 @@ def _mixed_impl_fn(
         out['DOPPLER'] = jnp.sqrt((1.0 + beta) / (1.0 - beta))
 
         # ------- limb coordinates (f64 mults; LIMB-DISTANCE is cm-level) --
+        # Assembled directly in the rot0 frame (dots/norms invariant),
+        # which also turns the rot0 @ off matvec below into a plain add
         o_t = anchors['target_obsvec']
-        a_dot = fm.dot3(jnp.broadcast_to(o_t, dd.shape), dd)  # o_t . dd
-        a0 = jnp.dot(o_t, m0)  # scalar
+        rot_o_t = rot0 @ o_t
+        a_dot = fm.dot3(jnp.broadcast_to(rot_o_t, rdd.shape), rdd)
+        a0 = jnp.dot(o_t, m0)  # scalar (rotation-invariant)
         # near - o_t, assembled from small recentred terms (~1e5 km)
         p_off = (
-            (a0 * m0 - o_t)
-            + a0 * dd
-            + a_dot[..., None] * m0
-            + a_dot[..., None] * dd
+            (a0 * rm0 - rot_o_t)
+            + a0 * rdd
+            + a_dot[..., None] * rm0
+            + a_dot[..., None] * rdd
         )
         dot_a = fm.dot3(p_off, p_off)  # |near point - observer ray|^2, f64
-        off = p_off + (o_t - anchors['subpoint_obsvec'])
+        off = p_off + (rot_o_t - rot0 @ anchors['subpoint_obsvec'])
         # |(-subpoint_rayvec) + off| - subpoint_distance, cancellation-free:
         # (2 A.off + |off|^2) / (|A + off| + |A|) with |A| = sp_dist
         # Light-time retiming (dtau_l) only rotates the ~1e5 km offset by
@@ -965,29 +1000,32 @@ def _mixed_impl_fn(
         # limb lon/lat budget: f32 carries both. Only the constant-matrix
         # rot0 base stays f64 (it positions the point itself).
         off32 = off.astype(f32)
-        spr32 = (-anchors['subpoint_rayvec']).astype(f32)
+        spr32 = (rot0 @ (-anchors['subpoint_rayvec'])).astype(f32)
         amo32 = fm.dot3(jnp.broadcast_to(spr32, off32.shape), off32)
         num_l32 = 2.0 * amo32 + fm.dot3(off32, off32)
         spd32 = sp_dist.astype(f32)
         r1_32 = num_l32 / (2.0 * spd32)
         dtau_l32 = -(num_l32 / (2.0 * spd32 + r1_32)) * f32(1.0 / CLIGHT)
         corr_l = (
-            dtau_l32[..., None] * _matvec(rot1_32, off32)
-            + (dtau_l32 * dtau_l32)[..., None] * _matvec(rot2h_32, off32)
+            dtau_l32[..., None] * _matvec(r1r0t_32, off32)
+            + (dtau_l32 * dtau_l32)[..., None] * _matvec(r2hr0t_32, off32)
         )
         near_targvec = (
             anchors['subpoint_targvec']
-            + _const_matvec(rot0, off)
+            + off
             + corr_l.astype(jnp.float64)
         )
         nt_scaled = near_targvec * inv_radii
-        scale_l = fm.rsqrt64(fm.dot3(nt_scaled, nt_scaled))
-        dot_b = fm.dot3(near_targvec, near_targvec) * scale_l * scale_l
+        ss_l = fm.dot3(nt_scaled, nt_scaled)
+        # dot_b = |near|^2 / |near scaled|^2: one Newton reciprocal
+        # instead of the rsqrt64 + two-mult square (the rsqrt's only other
+        # consumer, the unit direction below, is f32)
+        dot_b = fm.dot3(near_targvec, near_targvec) * fm.recip64(ss_l)
         # geodetic conversion in f32 (direction only: ~4e-3 km lateral
         # rounding of the ~7e4 km point is ~4e-6 deg, well inside the
         # 5e-5 deg contract); LIMB-DISTANCE below keeps the f64 chain
         near32 = near_targvec.astype(f32)
-        scale32 = scale_l.astype(f32)
+        scale32 = lax.rsqrt(ss_l.astype(f32))
         lx = near32[..., 0] * scale32
         ly = near32[..., 1] * scale32
         lz = near32[..., 2] * scale32
@@ -995,7 +1033,7 @@ def _mixed_impl_fn(
         limb_lon_e = jnp.arctan2(ly, lx).astype(jnp.float64)
         if robust_geodetic:
             _lon_u, limb_lat, _alt_u = geom.rect_to_geodetic(
-                near_targvec * scale_l[..., None], re, flattening
+                near_targvec * fm.rsqrt64(ss_l)[..., None], re, flattening
             )
         else:
             lw = lrho * omf_l
@@ -1019,8 +1057,9 @@ def _mixed_impl_fn(
 
         # ------- ring plane -------------------------------------------------
         rn = anchors['ring_plane_normal']
+        rot_rn = rot0 @ rn
         denom_r = jnp.dot(rn, m0) + fm.dot3(
-            jnp.broadcast_to(rn, dd.shape), dd
+            jnp.broadcast_to(rot_rn, rdd.shape), rdd
         )
         in_plane = (jnp.abs(denom_r) == 0.0) & (
             jnp.abs(anchors['ring_plane_constant']) == 0.0
@@ -1033,8 +1072,11 @@ def _mixed_impl_fn(
         s_r = anchors['ring_plane_constant'] * fm.recip64(denom_safe)
         ring_ok = (~parallel) & (~in_plane) & (s_r >= 0.0)
         # intercept relative to the subpoint (f64: the ~1e-16 relative
-        # rounding of the big intermediate is ~1e-7 km, far below tolerance)
-        off_r = s_r[..., None] * d_j - anchors['subpoint_obsvec']
+        # rounding of the big intermediate is ~1e-7 km, far below
+        # tolerance), in the rot0 frame: rot0 @ d_j is d_bf0, so the
+        # body-frame form costs the same mults and drops the per-pixel
+        # (3,3) retargeting-rotation build below to two constant matvecs
+        off_r = s_r[..., None] * d_bf0 - rot0 @ anchors['subpoint_obsvec']
         # f32 from here: ``off_r`` was formed in f64 (the 1e9 - 1e9 -> 1e5
         # km cancellation demands it) but the retiming chain, rotation
         # retargeting and geodetic conversion of the ~1e5 km recentred
@@ -1045,13 +1087,12 @@ def _mixed_impl_fn(
         num_r = 2.0 * amo_r + fm.dot3(off_r32, off_r32)
         r1_r = num_r / (2.0 * spd32)
         dtau_r32 = -(num_r / (2.0 * spd32 + r1_r)) * f32(1.0 / CLIGHT)
-        rot_r32 = (
-            rot0_32
-            + rot1_32 * dtau_r32[..., None, None]
-            + rot2h_32 * (dtau_r32 * dtau_r32)[..., None, None]
-        )
-        ring_targvec = anchors['subpoint_targvec'].astype(f32) + _matvec(
-            rot_r32, off_r32
+        ring_targvec = (
+            anchors['subpoint_targvec'].astype(f32)
+            + off_r32
+            + dtau_r32[..., None] * _matvec(r1r0t_32, off_r32)
+            + (dtau_r32 * dtau_r32)[..., None]
+            * _matvec(r2hr0t_32, off_r32)
         )
         rx32 = ring_targvec[..., 0]
         ry32 = ring_targvec[..., 1]

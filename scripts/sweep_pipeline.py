@@ -8,7 +8,12 @@ Prints one line: ``config -> blocked ms, pipelined ms/call``.
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 os.environ.setdefault(
     'PLANETMAPPER_KERNEL_PATH', '/root/reference/tests/data/kernels'
