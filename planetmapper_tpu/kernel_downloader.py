@@ -4,11 +4,17 @@ SPICE kernel download utility (parity with planetmapper/kernel_downloader.py).
 Mirrors the naif.jpl.nasa.gov URL tree into the local kernel directory
 (:func:`planetmapper_tpu.set_kernel_path` controls the destination), with
 index-page scraping, atomic temp-file downloads and tqdm progress.
+
+Layout model: every kernel has one *tree path* (e.g.
+``naif/generic_kernels/pck/pck00011.tpc``) that identifies it both under
+``URL_ROOT`` and under the local kernel directory; :class:`_MirrorLayout`
+owns all conversions between the three namespaces.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import urllib.parse
 import urllib.request
 
@@ -17,26 +23,76 @@ from .base import get_kernel_path
 
 URL_ROOT = 'https://naif.jpl.nasa.gov/pub/'
 
+#: Bytes per read when streaming a download to disk.
+_CHUNK_BYTES = 1 << 18
+
+#: JPL index pages wrap the listing table in these markers, with one
+#: ``<img src="/icons/...> <a href="...">`` row per entry.
+_INDEX_START = '<!--start data_content-->'
+_INDEX_END = '</table>'
+_INDEX_ROW = re.compile(
+    r'^<img src="/icons/[^"]*"[^>]*>\s*<a href="(?P<href>[^"]+)"'
+)
+
+
+class _MirrorLayout:
+    """URL <-> tree path <-> local path conversions for the kernel mirror."""
+
+    def resolve_tree_path(self, url_or_path: str) -> str:
+        """
+        The kernel-tree-relative part of a URL or local path, e.g. both
+        ``https://naif.jpl.nasa.gov/pub/naif/generic_kernels/pck/`` and
+        ``~/spice_kernels/naif/generic_kernels/pck/`` give
+        ``naif/generic_kernels/pck``.
+        """
+        candidate = self._normalise(url_or_path)
+        for root in (URL_ROOT, get_kernel_path()):
+            root = self._normalise(root)
+            if candidate.startswith(root):
+                return self._normalise(os.path.relpath(candidate, root))
+        raise ValueError(
+            f'Cannot get kernel path from "{url_or_path}"'
+        )
+
+    def url_for(self, tree_path: str) -> str:
+        return URL_ROOT + tree_path
+
+    def local_path_for(self, url_or_path: str) -> str:
+        return self._normalise(
+            os.path.join(get_kernel_path(), self.resolve_tree_path(url_or_path))
+        )
+
+    def exists_locally(self, url_or_path: str) -> bool:
+        return os.path.exists(self.local_path_for(url_or_path))
+
+    @staticmethod
+    def _normalise(p: str) -> str:
+        return os.path.normpath(os.path.expanduser(p))
+
+
+_LAYOUT = _MirrorLayout()
+
 
 def download_urls(*urls: str, **kwargs) -> None:
     """
     Download kernels (or index pages of kernels) from naif.jpl.nasa.gov and
-    save them locally with the same directory structure.
+    save them locally with the same directory structure. URLs whose final
+    path segment has no file extension are treated as index pages.
     """
     for url in urls:
-        path = urllib.parse.urlsplit(url).path
-        if '.' in os.path.split(path)[1]:
-            download_kernel(url, **kwargs)
-        else:
-            download_kernels_from_webpage(url, **kwargs)
+        leaf = os.path.basename(urllib.parse.urlsplit(url).path)
+        handler = download_kernel if '.' in leaf else (
+            download_kernels_from_webpage
+        )
+        handler(url, **kwargs)
 
 
 def download_kernels_from_webpage(index_url: str, **kwargs) -> None:
     """Download all first-level kernels listed on an index page."""
     urls = get_kernel_paths_from_webpage(index_url)
     print(f'{len(urls)} to download from {index_url}')
-    for idx, url in enumerate(urls):
-        download_kernel(url, note=f'[{idx + 1}/{len(urls)}] ', **kwargs)
+    for idx, url in enumerate(urls, start=1):
+        download_kernel(url, note=f'[{idx}/{len(urls)}] ', **kwargs)
     print(f'All kernels downloaded from {index_url}')
     print()
 
@@ -45,14 +101,12 @@ def download_kernel(
     url: str, force_download: bool = False, note: str = ''
 ) -> None:
     """Download a single kernel (skipped if it already exists locally)."""
-    kp = _get_kernel_path(url)
-    print(f'{note}Checking {kp}')
+    print(f'{note}Checking {_LAYOUT.resolve_tree_path(url)}')
     if _check_kernel_exists_locally(url):
-        if force_download:
-            print('  Kernel already exists, downloading anyway')
-        else:
+        if not force_download:
             print('  OK - Kernel already exists locally')
             return
+        print('  Kernel already exists, downloading anyway')
     local_path = _convert_url_to_local_path(url)
     print(f'  Downloading to {local_path}')
     download_file(url, local_path)
@@ -62,56 +116,23 @@ def download_kernel(
 def get_kernel_paths_from_webpage(index_url: str) -> list[str]:
     """
     Kernel URLs scraped from a naif.jpl.nasa.gov index page (fragile by
-    nature - depends on the JPL page format).
+    nature - depends on the JPL page format, see ``_INDEX_ROW``).
     """
-    assert index_url.startswith(URL_ROOT), f'URL must begin with {URL_ROOT}'
-    webpage = urllib.request.urlopen(index_url).read().decode()
-    data = webpage.split('<!--start data_content-->')[1].split('</table>')[0]
-    lines = data.splitlines()
-    paths = []
-    for line in lines:
-        if not line.startswith('<img src="/icons/'):
-            continue
-        href = line.split('<a href="')[1].split('"')[0]
-        if '.' in href:
-            paths.append(index_url + '/' + href)
-    return paths
-
-
-def _check_kernel_exists_locally(url: str) -> bool:
-    return os.path.exists(_convert_url_to_local_path(url))
-
-
-def _convert_url_to_local_path(url: str) -> str:
-    assert url.startswith(URL_ROOT), f'URL must begin with {URL_ROOT}'
-    return _kernel_path_to_local_path(_get_kernel_path(url))
-
-
-def _standardise_path(p: str) -> str:
-    return os.path.normpath(os.path.expanduser(p))
-
-
-def _get_kernel_path(p: str) -> str:
-    """
-    The kernel-tree-relative part of a URL or local path, e.g. both
-    ``https://naif.jpl.nasa.gov/pub/naif/generic_kernels/pck/`` and
-    ``~/spice_kernels/naif/generic_kernels/pck/`` give
-    ``naif/generic_kernels/pck``.
-    """
-    p = _standardise_path(p)
-    for prefix in (URL_ROOT, get_kernel_path()):
-        prefix = _standardise_path(prefix)
-        if p.startswith(prefix):
-            return _standardise_path(os.path.relpath(p, prefix))
-    raise ValueError('Cannot get kernel path from "{}"'.format(p))
-
-
-def _kernel_path_to_url(kp: str) -> str:
-    return URL_ROOT + kp
-
-
-def _kernel_path_to_local_path(kp: str) -> str:
-    return _standardise_path(get_kernel_path() + os.path.sep + kp)
+    if not index_url.startswith(URL_ROOT):
+        raise AssertionError(f'URL must begin with {URL_ROOT}')
+    page = urllib.request.urlopen(index_url).read().decode()
+    try:
+        listing = page.split(_INDEX_START, 1)[1].split(_INDEX_END, 1)[0]
+    except IndexError:
+        raise ValueError(
+            f'{index_url} does not look like a JPL kernel index page'
+        ) from None
+    found = []
+    for line in listing.splitlines():
+        m = _INDEX_ROW.match(line)
+        if m is not None and '.' in m.group('href'):
+            found.append(f'{index_url}/{m.group("href")}')
+    return found
 
 
 def download_file(url: str, local_path: str) -> None:
@@ -121,25 +142,48 @@ def download_file(url: str, local_path: str) -> None:
     """
     utils.check_path(local_path)
     temp_path = local_path + '.temp'
-    urllib.request.urlretrieve(url, temp_path, reporthook=_DownloadProgressBar())
+    try:
+        with urllib.request.urlopen(url) as response:
+            total = int(response.headers.get('Content-Length') or 0) or None
+            with open(temp_path, 'wb') as out, _progress_bar(total) as bar:
+                while True:
+                    chunk = response.read(_CHUNK_BYTES)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+                    bar.update(len(chunk))
+    except BaseException:
+        if os.path.exists(temp_path):
+            os.remove(temp_path)
+        raise
     os.replace(temp_path, local_path)
 
 
-class _DownloadProgressBar:
-    """tqdm-based urlretrieve report hook."""
+def _progress_bar(total: int | None):
+    import tqdm
 
-    def __init__(self) -> None:
-        self.pbar = None
-        self.previous_downloaded = 0
+    return tqdm.tqdm(
+        total=total, unit_scale=True, unit='B', unit_divisor=1024
+    )
 
-    def __call__(self, block_num, block_size, total_size):
-        import tqdm
 
-        if not self.pbar:
-            self.pbar = tqdm.tqdm(
-                total=total_size, unit_scale=True, unit='B', unit_divisor=1024
-            )
-        downloaded = block_num * block_size
-        change = downloaded - self.previous_downloaded
-        self.previous_downloaded = downloaded
-        self.pbar.update(change)
+# Conversion helpers kept as module-level functions: the test suite (and
+# reference parity) patch/exercise these names directly.
+def _check_kernel_exists_locally(url: str) -> bool:
+    return _LAYOUT.exists_locally(url)
+
+
+def _convert_url_to_local_path(url: str) -> str:
+    return _LAYOUT.local_path_for(url)
+
+
+def _get_kernel_path(p: str) -> str:
+    return _LAYOUT.resolve_tree_path(p)
+
+
+def _kernel_path_to_url(kp: str) -> str:
+    return _LAYOUT.url_for(kp)
+
+
+def _kernel_path_to_local_path(kp: str) -> str:
+    return _LAYOUT._normalise(os.path.join(get_kernel_path(), kp))

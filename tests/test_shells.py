@@ -375,18 +375,41 @@ class TestKernelDownloader:
         mock_open.assert_called_once_with(url)
         assert paths == [url + '/de440.bsp']
 
+    def _fake_response(self, chunks, fail_after=None):
+        response = mock.MagicMock()
+        response.__enter__.return_value = response
+        response.headers = {'Content-Length': str(sum(map(len, chunks)))}
+        queue = list(chunks) + [b'']
+
+        def read(n):
+            if fail_after is not None and len(queue) <= fail_after:
+                raise OSError('connection dropped')
+            return queue.pop(0)
+
+        response.read.side_effect = read
+        return response
+
     def test_download_file_atomic(self, tmp_path):
         target = str(tmp_path / 'sub' / 'file.bsp')
-
-        def fake_retrieve(url, temp_path, reporthook=None):
-            with open(temp_path, 'wb') as f:
-                f.write(b'DATA')
-
         with mock.patch(
-            'urllib.request.urlretrieve', side_effect=fake_retrieve
+            'urllib.request.urlopen',
+            return_value=self._fake_response([b'DA', b'TA']),
         ):
             kernel_downloader.download_file('http://x/file.bsp', target)
         assert open(target, 'rb').read() == b'DATA'
+        assert not os.path.exists(target + '.temp')
+
+    def test_download_file_cleans_up_partial(self, tmp_path):
+        # A mid-stream failure must leave NEITHER the target nor the
+        # temp file behind
+        target = str(tmp_path / 'sub' / 'file.bsp')
+        with mock.patch(
+            'urllib.request.urlopen',
+            return_value=self._fake_response([b'DA', b'TA'], fail_after=2),
+        ):
+            with pytest.raises(OSError):
+                kernel_downloader.download_file('http://x/file.bsp', target)
+        assert not os.path.exists(target)
         assert not os.path.exists(target + '.temp')
 
 
