@@ -843,9 +843,11 @@ def _mixed_impl_fn(
                 re / (anchors['target_lt'] * CLIGHT)
             )
         )  # scalar
-        inv_kpa = 1.0 / km_per_arcsec
-        out['ANGULAR-X'] = km_x * inv_kpa
-        out['ANGULAR-Y'] = km_y * inv_kpa
+        # f32 scaling: the error is relative (6e-8 of the value), outputs
+        # are written f32 anyway, and the zero crossing stays exact
+        inv_kpa32 = (1.0 / km_per_arcsec).astype(f32)
+        out['ANGULAR-X'] = km_x.astype(f32) * inv_kpa32
+        out['ANGULAR-Y'] = km_y.astype(f32) * inv_kpa32
 
         # ------- illumination (f32 direction algebra) ----------------------
         # Direction vectors tolerate f32 throughout: component rounding is
@@ -1150,6 +1152,10 @@ def _mixed_impl_fn(
     return impl
 
 
+#: Row granularity of the conditional f64 azimuth repair within a band.
+_AZ_REPAIR_ROWS = 32
+
+
 def _azimuth_repair_f64(
     az32, need, dtau, spoint, anchors, targ_rel0, targ_vel0, inv_radii,
     tau0,
@@ -1224,13 +1230,35 @@ def _azimuth_repair_f64(
 
     az = az32.astype(jnp.float64)
 
-    def repair(_):
-        return jnp.where(need, az64_at(dtau, spoint), az)
+    def chunk(args):
+        az_c, need_c, dtau_c, spoint_c = args
 
-    # The grid unit here is one row band (see get_fused_pipeline), so only
-    # the handful of bands crossing the sub-solar/sub-observer caps pay
-    # the f64 recompute; the rest skip it entirely via the conditional.
-    return lax.cond(jnp.any(need), repair, lambda _: az, operand=None)
+        def repair(_):
+            return jnp.where(need_c, az64_at(dtau_c, spoint_c), az_c)
+
+        return lax.cond(
+            jnp.any(need_c), repair, lambda _: az_c, operand=None
+        )
+
+    # The caller's grid unit is one row band (see get_fused_pipeline);
+    # the conditional repair runs per 32-row chunk within it, so only the
+    # rows actually crossing the sub-solar/sub-observer caps (where
+    # sin(i) or sin(e) is small) pay the f64 recompute - the caps span
+    # ~0.15 rad of disc radius, a small fraction of a 256-row band.
+    rows = az.shape[0] if az.ndim == 2 else 0
+    if rows and rows % _AZ_REPAIR_ROWS == 0 and rows > _AZ_REPAIR_ROWS:
+        n_c = rows // _AZ_REPAIR_ROWS
+
+        def to_chunks(v):
+            return v.reshape((n_c, _AZ_REPAIR_ROWS) + v.shape[1:])
+
+        out = lax.map(
+            chunk,
+            (to_chunks(az), to_chunks(need), to_chunks(dtau),
+             to_chunks(spoint)),
+        )
+        return out.reshape(az.shape)
+    return chunk((az, need, dtau, spoint))
 
 
 def _mod360(x):
