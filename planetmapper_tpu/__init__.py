@@ -56,8 +56,10 @@ jax.config.update('jax_enable_x64', True)
 # on EVERY cached reload (the host-feature probe never reports virtual
 # features, jaxlib 0.9 cpu_aot_loader.cc:210). Capping to AVX2 keeps those
 # flags out of the executables so warm starts are clean. XLA_FLAGS is
-# parsed at first compile, which is always after this import; respect any
-# user-provided value.
+# parsed at first backend init/compile - after this import in any normal
+# flow, but a no-op if the process already compiled something before
+# importing this package (harmless: the warnings return, nothing breaks).
+# Any user-provided xla_cpu_max_isa value is respected.
 if 'axon' in _os.environ.get('JAX_PLATFORMS', ''):
     _flags = _os.environ.get('XLA_FLAGS', '')
     if 'xla_cpu_max_isa' not in _flags:

@@ -58,9 +58,10 @@ class _MirrorLayout:
         return URL_ROOT + tree_path
 
     def local_path_for(self, url_or_path: str) -> str:
-        return self._normalise(
-            os.path.join(get_kernel_path(), self.resolve_tree_path(url_or_path))
-        )
+        return self.tree_path_to_local(self.resolve_tree_path(url_or_path))
+
+    def tree_path_to_local(self, tree_path: str) -> str:
+        return self._normalise(os.path.join(get_kernel_path(), tree_path))
 
     def exists_locally(self, url_or_path: str) -> bool:
         return os.path.exists(self.local_path_for(url_or_path))
@@ -186,4 +187,4 @@ def _kernel_path_to_url(kp: str) -> str:
 
 
 def _kernel_path_to_local_path(kp: str) -> str:
-    return _LAYOUT._normalise(os.path.join(get_kernel_path(), kp))
+    return _LAYOUT.tree_path_to_local(kp)

@@ -187,6 +187,27 @@ _WIN = 256
 _TILING_MIN_CELLS = 160_000
 
 
+def _use_tiling(n_cy: int, n_cx: int, out_shape: tuple | None) -> bool:
+    """
+    Single source of truth for engaging the tiled-window contraction:
+    a 2D sample field at least one tile big, against a coefficient grid
+    either large in total (full-grid weight matrices would dominate the
+    contraction) or long on one axis (past the one-hot gate, where the
+    untiled weight matrices get bandwidth-bound). ``pick_eval`` and
+    ``eval_all`` MUST agree, else a grid routes to the one-hot
+    evaluator but contracts untiled against the full grid.
+    """
+    return (
+        out_shape is not None
+        and len(out_shape) == 2
+        and out_shape[0] * out_shape[1] >= _TILE * _TILE
+        and (
+            n_cy * n_cx > _TILING_MIN_CELLS
+            or max(n_cy, n_cx) > _ONEHOT_MAX_COEFFS
+        )
+    )
+
+
 def _make_onehot_eval(kx: int, ky: int, batched: bool,
                       propagate_nan: bool, out_shape: tuple | None = None):
     """
@@ -378,7 +399,7 @@ def _make_onehot_eval(kx: int, ky: int, batched: bool,
 
         if (
             n_tiled_cells >= _TILE * _TILE
-            and n_cy * n_cx > _TILING_MIN_CELLS
+            and _use_tiling(n_cy, n_cx, out_shape)
         ):
             # keep f64 coordinates/knots: tile_eval re-centres them per
             # tile before its f32 cast
@@ -730,16 +751,17 @@ def spline_interpolation_device(
         return vals
 
     def pick_eval(ty, tx, batched):
-        n_c = max(ty.shape[0] - ky - 1, tx.shape[0] - kx - 1)
+        n_cy = ty.shape[0] - ky - 1
+        n_cx = tx.shape[0] - kx - 1
         out_shape = tuple(x_map.shape) if x_map.ndim == 2 else None
         # The tiled-window contraction keeps the one-hot (MXU) evaluator
         # viable for arbitrarily large coefficient grids: weight matrices
-        # are window-wide, not grid-wide
-        tiled = (
-            out_shape is not None
-            and x_map.size >= _TILE * _TILE
-        )
-        if n_c <= _ONEHOT_MAX_COEFFS or tiled:
+        # are window-wide, not grid-wide. The predicate MUST be the same
+        # one eval_all applies, else a large grid would contract untiled.
+        if (
+            max(n_cy, n_cx) <= _ONEHOT_MAX_COEFFS
+            or _use_tiling(n_cy, n_cx, out_shape)
+        ):
             return _spline_eval_onehot_fn(
                 kx, ky, batched, propagate_nan, out_shape
             )

@@ -667,12 +667,12 @@ def _mixed_impl_fn(
         # they become the constant products rot_k @ rot0^T
         r1r0t_32 = (rot1 @ rot0.T).astype(f32)
         r2hr0t_32 = (rot2h @ rot0.T).astype(f32)
-        q32 = q_bf0.astype(f32)
-        d32 = d_bf0.astype(f32)
-        r1q = _matvec(r1r0t_32, q32)  # f32 correction ingredients, once
-        r2q = _matvec(r2hr0t_32, q32)
-        r1d = _matvec(r1r0t_32, d32)
-        r2d = _matvec(r2hr0t_32, d32)
+        q_b32 = q_bf0.astype(f32)
+        d_b32 = d_bf0.astype(f32)
+        r1q = _matvec(r1r0t_32, q_b32)  # f32 correction ingredients, once
+        r2q = _matvec(r2hr0t_32, q_b32)
+        r1d = _matvec(r1r0t_32, d_b32)
+        r2d = _matvec(r2hr0t_32, d_b32)
         rv0_32 = (rot0 @ targ_vel0).astype(f32)  # epoch-rate constants
         rv1_32 = (rot1 @ targ_vel0).astype(f32)
         rv2h_32 = (rot2h @ targ_vel0).astype(f32)
@@ -688,8 +688,6 @@ def _mixed_impl_fn(
             return cq, cd
 
         # ------- f32 fixed point for the light-time epoch offset ---------
-        q_b32 = q_bf0.astype(f32)
-        d_b32 = d_bf0.astype(f32)
         dtau_base = ((delta0 - tp) * (1.0 / CLIGHT)).astype(f32)
         sigma_nf32 = (sigma_nf - tp).astype(f32)
         dtau = dtau_base

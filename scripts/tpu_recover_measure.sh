@@ -8,8 +8,12 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 echo "== probe =="
-if ! timeout 120 python -c "import jax, jax.numpy as jnp; \
-print('probe ok', float(jax.jit(lambda v: v.sum())(jnp.arange(4.))))" \
+# assert the axon (TPU) backend specifically - a CPU fallback passing
+# the probe would silently time the wrong hardware
+if ! timeout 180 python -c "import jax, jax.numpy as jnp; \
+assert jax.default_backend() not in ('cpu',), jax.default_backend(); \
+print('probe ok', jax.devices()[0], \
+float(jax.jit(lambda v: v.sum())(jnp.arange(4.))))" \
         2>/dev/null | grep -q 'probe ok'; then
     echo "TPU not responding"; exit 2
 fi

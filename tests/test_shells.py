@@ -747,6 +747,9 @@ class TestDeviceInterp:
         n = interp_device._ONEHOT_MAX_COEFFS + 40
         rng = np.random.default_rng(32)
         img = rng.normal(size=(n, 80)).cumsum(axis=0) * 0.02
+        # one long axis is enough to demand tiling (the gather fallback
+        # this grid previously took scalarizes on TPU)
+        assert interp_device._use_tiling(n, 80, (70, 70))
         v = np.linspace(0.05, 0.95, 70)[:, None]
         u = np.linspace(0.05, 0.95, 70)[None, :]
         y = np.broadcast_to((n - 1) * v, (70, 70)).copy()
