@@ -874,6 +874,92 @@ class TestBodyXYGoldens:
             body_xy.set_disc_params(5, 8, 10, 45)
 
     # reference tests/test_body_xy.py:1990 (byte-exact string contract)
+    def test_generate_map_coordinates_goldens(self, body_xy):
+        # reference tests/test_body_xy.py:1551 (test_generate_map_coordinates)
+        with pytest.raises(ValueError):
+            body_xy.generate_map_coordinates(projection='manual')
+        with pytest.raises(ValueError):
+            body_xy.generate_map_coordinates(
+                'manual',
+                lon_coords=np.array([1, 2, 3]),
+                lat_coords=np.array([[1, 2, 3], [4, 5, 6]]),
+            )
+        # xlim/ylim cropping semantics (degree_interval=90)
+        cases = [
+            (None, None,
+             np.array([[315.0, 225.0, 135.0, 45.0]] * 2),
+             np.array([[-45.0] * 4, [45.0] * 4])),
+            ((-np.inf, np.inf), (-np.inf, np.inf),
+             np.array([[315.0, 225.0, 135.0, 45.0]] * 2),
+             np.array([[-45.0] * 4, [45.0] * 4])),
+            ((135, -np.inf), (45, np.inf),
+             np.array([[135.0, 45.0]]),
+             np.array([[45.0, 45.0]])),
+            ((100, 300), (-50, 50),
+             np.array([[225.0, 135.0]] * 2),
+             np.array([[-45.0] * 2, [45.0] * 2])),
+            ((300, 100), (50, -50),
+             np.array([[225.0, 135.0]] * 2),
+             np.array([[-45.0] * 2, [45.0] * 2])),
+        ]
+        for xlim, ylim, lons_expected, lats_expected in cases:
+            lons, lats, xx, yy, _transformer, info = (
+                body_xy.generate_map_coordinates(
+                    degree_interval=90, xlim=xlim, ylim=ylim
+                )
+            )
+            assert np.array_equal(lons, lons_expected), (xlim, ylim, lons)
+            assert np.array_equal(lats, lats_expected)
+            assert np.array_equal(np.asarray(xx), lons_expected)
+            assert np.array_equal(np.asarray(yy), lats_expected)
+            assert info['xlim'] == xlim
+            assert info['ylim'] == ylim
+        # degree_interval grid values
+        lons, lats, _, _, _, _ = body_xy.generate_map_coordinates(
+            degree_interval=123
+        )
+        np.testing.assert_allclose(lons, [[307.5, 184.5, 61.5]])
+        np.testing.assert_allclose(lats, [[-28.5, -28.5, -28.5]])
+        # orthographic grid lon/lat values (CSPICE-derived goldens)
+        lons, lats, xx, yy, _, _ = body_xy.generate_map_coordinates(
+            projection='orthographic', size=5
+        )
+        np.testing.assert_allclose(
+            lons[1:4, 1:4],
+            [[36.87110893, 0.0, -36.87110893],
+             [30.33135236, 0.0, -30.33135236],
+             [36.87110893, 0.0, -36.87110893]],
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            lats[1:4, 1:4],
+            [[-34.45624462] * 3, [0.0] * 3, [34.45624462] * 3],
+            atol=2e-5,
+        )
+        assert np.isnan(lons[0]).all() and np.isnan(lons[-1]).all()
+        np.testing.assert_allclose(
+            xx[0], [-1.01, -0.505, 0.0, 0.505, 1.01]
+        )
+        np.testing.assert_allclose(yy[:, 0], xx[0])
+        # offset orthographic (lon/lat centre)
+        lons, lats, _, _, _, _ = body_xy.generate_map_coordinates(
+            projection='orthographic', size=5, lon=123.456, lat=-2
+        )
+        np.testing.assert_allclose(
+            lons[1:4, 1:4],
+            [[161.19011383, 123.456, 85.72188617],
+             [153.80492624, 123.456, 93.10707376],
+             [159.53178271, 123.456, 87.38021729]],
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            lats[1:4, 1:4],
+            [[-36.20674821, -36.65376937, -36.20674821],
+             [-1.98332476, -2.29643357, -1.98332476],
+             [32.67332417, 32.24176455, 32.67332417]],
+            atol=2e-5,
+        )
+
     def test_create_proj_string(self, body_xy):
         assert body_xy.create_proj_string('ortho') == (
             '+proj=ortho +a=71492.0 +b=66854.0 +axis=wnu +type=crs'
