@@ -702,7 +702,11 @@ def spline_interpolation_device(
     if isinstance(interpolation, int):
         kx = ky = interpolation
     else:
-        kx, ky = interpolation
+        # Reference semantics (body_xy.py:1673-1680 -> RectBivariateSpline
+        # with scipy's first axis = image rows): tuple[0] is the degree
+        # along image ROWS. This module's kx is the degree along image x
+        # (columns), so the tuple swaps on entry.
+        ky, kx = interpolation
 
     cube = img.ndim == 3
     frames = img if cube else img[None]

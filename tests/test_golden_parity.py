@@ -874,6 +874,106 @@ class TestBodyXYGoldens:
             body_xy.set_disc_params(5, 8, 10, 45)
 
     # reference tests/test_body_xy.py:1990 (byte-exact string contract)
+    def test_map_img_goldens(self):
+        # reference tests/test_body_xy.py:1087 (test_map_img): 6x5 image,
+        # 45-degree map, every interpolation mode incl. the anisotropic
+        # (1, 2) order (tuple[0] acts on image rows, scipy convention)
+        body = BodyXY(
+            'Jupiter', observer='HST', utc='2005-01-01T00:00:00',
+            nx=6, ny=5,
+        )
+        body.set_disc_params(2.75, 1.3, 2.3, 45.678)
+        image = np.array([
+            [0.0, 100.0, -1.0, 2.2, 3.3, 4.4],
+            [0.0, 75.0, 999.0, 50.0, 1.0, 123.456789],
+            [0.0, 25.0, 0.0, 123.45, nan, 3],
+            [0.0, 0.123, 0.0, 3.0, 0.1, nan],
+            [100.0, -100.0, 100.0, -100.0, 100.0, nan],
+        ])
+        expected = {
+            'nearest': [
+                [nan, nan, 100.0, 100.0, -1.0, nan, nan, nan],
+                [nan, nan, nan, 75.0, 999.0, 3.3, 3.3, nan],
+                [nan, nan, nan, 0.0, 123.45, nan, 123.456789, nan],
+                [nan, nan, nan, 3.0, 3.0, 0.1, nan, nan]],
+            'linear': [
+                [nan, nan, nan, nan, nan, nan, nan, nan],
+                [nan, nan, nan, 61.591824124152424, 488.0893412811879,
+                 4.181692402514696, nan, nan],
+                [nan, nan, nan, 3.678385742930187, 94.03788871233297,
+                 nan, nan, nan],
+                [nan, nan, nan, -25.28910210942658, -1.6502703714050462,
+                 nan, nan, nan]],
+            'quadratic': [
+                [nan, nan, nan, nan, nan, nan, nan, nan],
+                [nan, nan, nan, 47.43961193970507, 780.1933190874719,
+                 -11.958641161828965, nan, nan],
+                [nan, nan, nan, -40.33639788223132, 106.33548747800452,
+                 nan, nan, nan],
+                [nan, nan, nan, -35.84554405305129, -19.35757229218872,
+                 nan, nan, nan]],
+            'cubic': [
+                [nan, nan, nan, nan, nan, nan, nan, nan],
+                [nan, nan, nan, 38.17050096080083, 837.0682797065551,
+                 -40.810161294299334, nan, nan],
+                [nan, nan, nan, -77.21287210436617, 103.88323214798433,
+                 nan, nan, nan],
+                [nan, nan, nan, -29.994884067130222, -35.81550582449343,
+                 nan, nan, nan]],
+            (1, 2): [
+                [nan, nan, nan, nan, nan, nan, nan, nan],
+                [nan, nan, nan, 48.82728713390978, 584.7164003757379,
+                 -0.9895987798646678, nan, nan],
+                [nan, nan, nan, -0.625402661173368, 99.24054961575526,
+                 nan, nan, nan],
+                [nan, nan, nan, -33.19407454333914, -8.380623602166663,
+                 nan, nan, nan]],
+            'smooth': [
+                [nan, nan, nan, nan, nan, nan, nan, nan],
+                [nan, nan, nan, 61.843425001350354, 671.1230653458096,
+                 3.0978175863959225, nan, nan],
+                [nan, nan, nan, 2.09538993938678, 107.55183097907637,
+                 nan, nan, nan],
+                [nan, nan, nan, -34.91789986435487, -13.461055830699873,
+                 nan, nan, nan]],
+        }
+        for interpolation, expected_img in expected.items():
+            got = np.asarray(body.map_img(
+                image, degree_interval=45, interpolation=interpolation,
+            ))
+            exp = np.asarray(expected_img)
+            assert np.array_equal(np.isnan(got), np.isnan(exp)), (
+                interpolation
+            )
+            scale = np.nanmax(np.abs(exp))
+            np.testing.assert_allclose(
+                got, exp, atol=2e-5 * scale, equal_nan=True,
+                err_msg=str(interpolation),
+            )
+        # NaN propagation off: values fill in around the NaN pixel
+        expected_noprop = np.asarray([
+            [nan, nan, 83.42502054006614, 61.410255547165704,
+             1.0972142916279704, nan, nan, nan],
+            [nan, nan, nan, 61.591824124152424, 488.0893412811879,
+             4.181692402514696, 3.8032713799190443, nan],
+            [nan, nan, nan, 3.678385742930187, 94.03788871233297,
+             35.721226497463014, 94.00305287602345, nan],
+            [nan, nan, nan, -25.28910210942658, -1.6502703714050462,
+             4.265385156596395, nan, nan]])
+        got = np.asarray(body.map_img(
+            image, degree_interval=45, interpolation='linear',
+            propagate_nan=False,
+        ))
+        assert np.array_equal(np.isnan(got), np.isnan(expected_noprop))
+        np.testing.assert_allclose(
+            got, expected_noprop, atol=2e-2, equal_nan=True
+        )
+        # all-NaN frame maps to all-NaN
+        got = np.asarray(body.map_img(
+            image * nan, degree_interval=45, interpolation='linear',
+        ))
+        assert np.isnan(got).all()
+
     def test_generate_map_coordinates_goldens(self, body_xy):
         # reference tests/test_body_xy.py:1551 (test_generate_map_coordinates)
         with pytest.raises(ValueError):
