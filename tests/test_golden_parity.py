@@ -874,6 +874,71 @@ class TestBodyXYGoldens:
             body_xy.set_disc_params(5, 8, 10, 45)
 
     # reference tests/test_body_xy.py:1990 (byte-exact string contract)
+    def test_disc_param_semantics_goldens(self):
+        # reference tests/test_body_xy.py:488-597 (set/adjust/reset disc
+        # params, plate scales, centre_disc, rotate_north_to_top)
+        body = BodyXY(
+            'Jupiter', observer='HST', utc='2005-01-01T00:00:00',
+            nx=15, ny=10,
+        )
+        body.set_disc_params(1.1, 2.2, 3.3, 4.4)
+        body.set_disc_params()  # no args: everything unchanged
+        assert body.get_disc_params() == (1.1, 2.2, 3.3,
+                                          pytest.approx(4.4))
+        body.set_disc_params(0, 0, 1, 0)
+        body.adjust_disc_params(11.1, 12.2, 13.3, 14.4)
+        assert body.get_x0() == 11.1
+        assert body.get_r0() == 14.3
+        assert body.get_rotation() == pytest.approx(14.4)
+        # setters return plain floats (reference #467) and validate
+        for setter, getter in [
+            (body.set_x0, body.get_x0), (body.set_y0, body.get_y0),
+            (body.set_r0, body.get_r0),
+            (body.set_rotation, body.get_rotation),
+        ]:
+            setter(123.4567)
+            assert getter() == pytest.approx(123.4567)
+            assert type(getter()) is float
+            with pytest.raises(ValueError):
+                setter(np.nan)
+            with pytest.raises(TypeError):
+                setter('a string')
+            with pytest.raises(TypeError):
+                setter(np.array([1, 2, 3]))
+        with pytest.raises(ValueError):
+            body.set_r0(-1.23)
+        body.set_plate_scale_arcsec(1)
+        assert body.get_plate_scale_arcsec() == pytest.approx(1)
+        assert body.get_r0() == pytest.approx(17.99121344984809, abs=1e-6)
+        body.set_plate_scale_km(1)
+        assert body.get_plate_scale_km() == pytest.approx(1)
+        assert body.get_r0() == pytest.approx(71492.0)
+        # reset restores construction-time defaults + method
+        initial = BodyXY(
+            'Jupiter', observer='HST', utc='2005-01-01T00:00:00',
+            nx=15, ny=10,
+        )
+        body.set_disc_params(-1, -2, 3, 4)
+        body.reset_disc_params()
+        np.testing.assert_allclose(
+            body.get_disc_params(), initial.get_disc_params(), atol=1e-9
+        )
+        assert body.get_disc_method() == initial.get_disc_method()
+        # centre_disc / rotate_north_to_top goldens
+        body.set_disc_params(0, 0, 1, 0)
+        body.centre_disc()
+        assert body.get_disc_params() == (7.0, 4.5, 4.05, 0.0)
+        assert body.get_disc_method() == 'centre_disc'
+        body.set_disc_params(0, 0, 1, 0)
+        body.rotate_north_to_top()
+        assert body.get_rotation() == pytest.approx(
+            24.15516987997688, abs=2e-4
+        )
+        assert body.get_rotation() == pytest.approx(
+            -body.north_pole_angle(), abs=1e-3
+        )
+        assert body.get_disc_method() == 'rotate_north_to_top'
+
     def test_map_img_goldens(self):
         # reference tests/test_body_xy.py:1087 (test_map_img): 6x5 image,
         # 45-degree map, every interpolation mode incl. the anisotropic
