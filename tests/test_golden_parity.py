@@ -874,6 +874,81 @@ class TestBodyXYGoldens:
             body_xy.set_disc_params(5, 8, 10, 45)
 
     # reference tests/test_body_xy.py:1990 (byte-exact string contract)
+    def test_disc_method_and_arcsec_offset(self):
+        # reference tests/test_body_xy.py:708-733
+        body = BodyXY(
+            'Jupiter', observer='HST', utc='2005-01-01T00:00:00',
+            nx=15, ny=10,
+        )
+        method = ' test method '
+        body.set_disc_method(method)
+        assert body.get_disc_method() == method
+        body._clear_cache()
+        assert body.get_disc_method() == body._default_disc_method
+        body.set_disc_method(method)
+        body.set_x0(123)  # changing disc params resets the method
+        assert body.get_disc_method() == body._default_disc_method
+        body.set_disc_params(0, 0, 1, 0)
+        body.add_arcsec_offset(0, 0)
+        np.testing.assert_allclose(
+            body.get_disc_params(), (0, 0, 1, 0), atol=1e-12
+        )
+        body.add_arcsec_offset(1, 2)
+        np.testing.assert_allclose(
+            body.get_disc_params(),
+            (-0.05532064212457044, 0.11116537556358708, 1.0, 0.0),
+            atol=1e-6,
+        )
+
+    def test_img_limits_goldens(self):
+        # reference tests/test_body_xy.py:734 (test_img_limits)
+        body = BodyXY(
+            'Jupiter', observer='HST', utc='2005-01-01T00:00:00',
+            nx=15, ny=10,
+        )
+        body.set_disc_params(7.5, 5.0, 4.5, 0.0)
+        assert body.get_img_limits_xy() == ((-0.5, 14.5), (-0.5, 9.5))
+        np.testing.assert_allclose(
+            body.get_img_limits_radec(),
+            ((196.38091225891438, 196.36417481895663),
+             (-5.571901975157448, -5.560796287842726)),
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            body.get_img_limits_km(),
+            ((-151724.69753899056, 130727.50016257458),
+             (-125236.31445765976, 117241.42226096484)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            body.get_img_limits_angular(),
+            ((-31.984379466325663, 27.98633203326517),
+             (-21.98926088314898, 17.99121344984992)),
+            rtol=1e-6,
+        )
+
+    def test_visible_lonlat_grid_xy(self):
+        # reference tests/test_body_xy.py:825
+        body = BodyXY(
+            'Jupiter', observer='HST', utc='2005-01-01T00:00:00',
+            nx=15, ny=10,
+        )
+        body.set_disc_params(5, 8, 10, 45)
+        expected = [
+            ([1.67619973, nan, nan], [-0.72952731, nan, nan]),
+            ([1.67619973, 13.41207875, nan], [-0.72952731, 5.02509592, nan]),
+            ([1.67619973, 0.92445441, nan], [-0.72952731, 10.00171828, nan]),
+            ([1.67619973, nan, nan], [-0.72952731, nan, nan]),
+            ([1.67619973, 1.67619973, 1.67619973],
+             [-0.72952731, -0.72952731, -0.72952731]),
+            ([nan, 0.92445441, nan], [nan, 10.00171828, nan]),
+        ]
+        got = body.visible_lonlat_grid_xy(interval=90, npts=3)
+        assert len(got) == len(expected)
+        for (gx, gy), (ex, ey) in zip(got, expected):
+            np.testing.assert_allclose(gx, ex, atol=1e-3, equal_nan=True)
+            np.testing.assert_allclose(gy, ey, atol=1e-3, equal_nan=True)
+
     def test_disc_param_semantics_goldens(self):
         # reference tests/test_body_xy.py:488-597 (set/adjust/reset disc
         # params, plate scales, centre_disc, rotate_north_to_top)
