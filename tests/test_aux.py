@@ -28,6 +28,42 @@ class TestUtils:
         s = utils.decimal_degrees_to_dms_str(12.582222)
         assert s.startswith('12°34′')
 
+    def test_dms_reference_goldens(self):
+        # reference tests/test_utils.py:59-104 (sign placement on the
+        # first nonzero component, exact formatted strings)
+        for decimal_degrees, dms in [
+            (0, (0, 0, 0)),
+            (1, (1, 0, 0)),
+            (1.23456789, (1, 14, 4.444404)),
+            (-123.456, (-123, 27, 21.6)),
+            (360, (360, 0, 0)),
+            (-0.1, (0, -6, 0)),
+            (-0.001, (0, 0, -3.6)),
+        ]:
+            d, m, s = utils.decimal_degrees_to_dms(decimal_degrees)
+            assert d == dms[0]
+            assert m == dms[1]
+            assert s == pytest.approx(dms[2], abs=1e-6)
+        for decimal_degrees, expected in [
+            (0, '0°00′00.0000″'),
+            (1, '1°00′00.0000″'),
+            (1.23456789, '1°14′04.4444″'),
+            (-123.456, '-123°27′21.6000″'),
+            (360, '360°00′00.0000″'),
+        ]:
+            assert utils.decimal_degrees_to_dms_str(
+                decimal_degrees, seconds_fmt='.4f'
+            ) == expected
+        for decimal_degrees, expected in [
+            (0, '0°00′00″'),
+            (123.46, '123°27′36″'),
+            (123.456, '123°27′21.6″'),
+            (-123.456, '-123°27′21.6″'),
+        ]:
+            assert utils.decimal_degrees_to_dms_str(
+                decimal_degrees
+            ) == expected
+
     def test_normalise(self):
         out = utils.normalise([1.0, 2.0, 3.0])
         np.testing.assert_allclose(out, [0.0, 0.5, 1.0])
