@@ -32,7 +32,7 @@ import math
 
 import numpy as np
 
-from .interp_device import _device_xy
+from .interp_device import _TILE, _WIN, _device_xy, _use_tiling
 
 
 def _last_valid_scan(lax, jnp, valid, payloads, axis: int, reverse: bool):
@@ -162,15 +162,17 @@ def _pchip_axis(jnp, lax, values, n_eval: int, k_rep: int):
 
     # segment data at every cell: left = nearest finite at-or-before,
     # right = nearest finite at-or-after (consecutive finite cells bracket
-    # every evaluation position by construction)
-    _, l_idx, l_val, l_der = _last_valid_scan(
-        lax, jnp, finite, (idx, v, deriv), axis, reverse=False
+    # every evaluation position by construction). The index/value lanes
+    # are exactly the first scan pair's results; only derivatives need a
+    # further scan.
+    _, l_der = _last_valid_scan(
+        lax, jnp, finite, (deriv,), axis, reverse=False
     )
-    has_l = fv
-    _, r_idx, r_val, r_der = _last_valid_scan(
-        lax, jnp, finite, (idx, v, deriv), axis, reverse=True
+    _, r_der = _last_valid_scan(
+        lax, jnp, finite, (deriv,), axis, reverse=True
     )
-    has_r = bv
+    l_idx, l_val, has_l = f_idx, f_val, fv
+    r_idx, r_val, has_r = b_idx, b_val, bv
 
     # move per-cell segment data to the oversampled grid: positions
     # linspace(0, n-1, n_eval) fall in cell floor(x) -> static repeats
@@ -218,35 +220,37 @@ def _pchip_axis(jnp, lax, values, n_eval: int, k_rep: int):
     return jnp.where(enough, result, jnp.nan)
 
 
-#: Tiled-window sampling parameters: maps are cut into _TILE x _TILE
-#: point tiles; each tile's samples hit a localized patch of the
-#: oversampled grid, so its one-hot matmuls contract against a
-#: _WIN x _WIN dynamic window instead of the full grid (8-10x fewer
-#: MXU flops at the default 5x oversampling). Tiles whose footprint
-#: exceeds the window (rare: pathological projections) fall back to the
-#: full-grid contraction via lax.cond.
-_TILE = 64
-_WIN = 256
-#: Grids below this cell count are cheap enough to contract whole.
-_TILING_MIN_CELLS = 160_000
+# Tiled-window sampling shares _TILE/_WIN and the _use_tiling gate with
+# interp_device (single source of truth): maps are cut into _TILE x _TILE
+# point tiles; each tile's samples hit a localized patch of the
+# oversampled grid, so its one-hot matmuls contract against a
+# _WIN x _WIN dynamic window instead of the full grid (8-10x fewer
+# MXU flops at the default 5x oversampling). Tiles whose footprint
+# exceeds the window (rare: pathological projections) fall back to the
+# full-grid contraction via lax.cond.
 
 
-@functools.lru_cache(maxsize=None)
-def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
+@functools.lru_cache(maxsize=64)
+def _smooth_fn(ny: int, nx: int, ny_b: int, nx_b: int,
                ky_rep: int, kx_rep: int, propagate_nan: bool,
                out_shape: tuple):
     """
-    Jitted end-to-end 'smooth' program for one (image-shape, map-limits,
+    Jitted end-to-end 'smooth' program for one (image-shape, box-size,
     oversampling) configuration: box slice, row PCHIP, column PCHIP,
     tiled/chunked bilinear sampling with scipy's NaN-corner semantics,
     and the 4-neighbour NaN propagation mask.
+
+    The box ORIGIN (iy0, ix0) is a traced argument of the returned
+    function: disc fitting and GUI scrubbing translate the map's pixel
+    bounding box every call, and keying the compile cache on absolute
+    coordinates caused a fresh multi-second XLA compile per disc
+    position. Translation only shifts the slice origin and the
+    sample-coordinate offsets, so one program per box SIZE suffices.
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    ny_b = iy1 - iy0
-    nx_b = ix1 - ix0
     n_xs = (nx_b - 1) * kx_rep + 1
     n_ys = (ny_b - 1) * ky_rep + 1
     x_step = (nx_b - 1) / (n_xs - 1) if n_xs > 1 else 1.0
@@ -286,14 +290,16 @@ def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
         ) > 0.5
         return jnp.where(mask & ~nan_hit, val, jnp.nan)
 
-    def img_nan_mask(y, x, img_nan, mask):
-        """4-neighbour NaN test on the ORIGINAL image grid."""
+    def nan_indicators(y, x, n_wy: int, n_wx: int, oyn, oxn):
+        """4-neighbour indicator matrices on the ORIGINAL image grid over
+        an (n_wy, n_wx) window at offset (oyn, oxn); bounds clip against
+        the full image."""
         y0n = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ny - 1)
         y1n = jnp.clip(jnp.ceil(y).astype(jnp.int32), 0, ny - 1)
         x0n = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx - 1)
         x1n = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, nx - 1)
-        jyn = jnp.arange(ny, dtype=jnp.int32)[None, :]
-        jxn = jnp.arange(nx, dtype=jnp.int32)[None, :]
+        jyn = jnp.arange(n_wy, dtype=jnp.int32)[None, :] + oyn
+        jxn = jnp.arange(n_wx, dtype=jnp.int32)[None, :] + oxn
         uy = (
             (jyn == y0n[:, None]) | (jyn == y1n[:, None])
         ).astype(jnp.float32)
@@ -301,36 +307,42 @@ def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
             (jxn == x0n[:, None]) | (jxn == x1n[:, None])
         ).astype(jnp.float32)
         outside = (x < 0.0) | (y < 0.0) | (x > nx - 1) | (y > ny - 1)
+        return uy, ux, outside, (y0n, y1n, x0n, x1n)
+
+    def nan_mask(uy, ux, outside, img_nan_w, mask):
         cnt = jnp.sum(
-            jnp.matmul(uy, img_nan, precision=lax.Precision.HIGHEST) * ux,
+            jnp.matmul(uy, img_nan_w, precision=lax.Precision.HIGHEST)
+            * ux,
             axis=-1,
         )
         return mask & ~(outside | (cnt > 0.5))
 
-    def sample_chunk(grid_f32, grid_nan, y, x, valid, img_nan):
-        yb = (y - float(iy0)) / y_step
-        xb = (x - float(ix0)) / x_step
+    def sample_chunk(grid_f32, grid_nan, iy0f, ix0f, y, x, valid,
+                     img_nan):
+        yb = (y - iy0f) / y_step
+        xb = (x - ix0f) / x_step
         inside = (
             (yb >= 0.0) & (yb <= n_ys - 1) & (xb >= 0.0) & (xb <= n_xs - 1)
         )
         mask = valid & inside
         if propagate_nan:
-            mask = img_nan_mask(y, x, img_nan, mask)
+            uy, ux, outside, _ = nan_indicators(y, x, ny, nx, 0, 0)
+            mask = nan_mask(uy, ux, outside, img_nan, mask)
         return bilinear(grid_f32, grid_nan, yb, xb, mask)
 
     w_y = min(_WIN, n_ys)
     w_x = min(_WIN, n_xs)
+    w_ny = min(_WIN, ny)
+    w_nx = min(_WIN, nx)
 
-    def sample_tile(grid_f32, grid_nan, y, x, valid, img_nan):
-        yb = (y - float(iy0)) / y_step
-        xb = (x - float(ix0)) / x_step
+    def sample_tile(grid_f32, grid_nan, iy0f, ix0f, y, x, valid,
+                    img_nan):
+        yb = (y - iy0f) / y_step
+        xb = (x - ix0f) / x_step
         inside = (
             (yb >= 0.0) & (yb <= n_ys - 1) & (xb >= 0.0) & (xb <= n_xs - 1)
         )
         care = valid & inside
-        mask = care
-        if propagate_nan:
-            mask = img_nan_mask(y, x, img_nan, mask)
         big = float(n_ys + n_xs + 10)
         oy = jnp.clip(
             jnp.floor(jnp.min(jnp.where(care, yb, big))).astype(jnp.int32)
@@ -353,25 +365,59 @@ def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
             & (ix_g >= ox) & (ix_g <= ox + w_x - 2)
         )
         fits = jnp.all(jnp.where(care, ok, True))
+        # the image-grid NaN test windows the same way (its footprint is
+        # the tile's pixel coordinates, local by construction)
+        if propagate_nan:
+            _, _, outside, (y0n, y1n, x0n, x1n) = nan_indicators(
+                y, x, 1, 1, 0, 0
+            )
+            care_n = care & ~outside
+            big_i = jnp.int32(ny + nx)
+            oyn = jnp.clip(
+                jnp.min(jnp.where(care_n, y0n, big_i)), 0, ny - w_ny
+            )
+            oxn = jnp.clip(
+                jnp.min(jnp.where(care_n, x0n, big_i)), 0, nx - w_nx
+            )
+            fits = fits & jnp.all(jnp.where(
+                care_n,
+                (y1n <= oyn + w_ny - 1) & (x1n <= oxn + w_nx - 1),
+                True,
+            ))
+        else:
+            oyn = oxn = jnp.int32(0)
 
         def windowed(_):
+            mask = care
+            if propagate_nan:
+                uy, ux, outside_w, _ = nan_indicators(
+                    y, x, w_ny, w_nx, oyn, oxn
+                )
+                img_nan_w = lax.dynamic_slice(
+                    img_nan, (oyn, oxn), (w_ny, w_nx)
+                )
+                mask = nan_mask(uy, ux, outside_w, img_nan_w, mask)
             gw = lax.dynamic_slice(grid_f32, (oy, ox), (w_y, w_x))
             gnw = lax.dynamic_slice(grid_nan, (oy, ox), (w_y, w_x))
             return bilinear(gw, gnw, yb - oy, xb - ox, mask)
 
         def full(_):
+            mask = care
+            if propagate_nan:
+                uy, ux, outside_f, _ = nan_indicators(y, x, ny, nx, 0, 0)
+                mask = nan_mask(uy, ux, outside_f, img_nan, mask)
             return bilinear(grid_f32, grid_nan, yb, xb, mask)
 
         return lax.cond(fits, windowed, full, None)
 
-    use_tiles = (
-        len(out_shape) == 2
-        and n_ys * n_xs > _TILING_MIN_CELLS
-        and out_shape[0] * out_shape[1] >= _TILE * _TILE
-    )
+    use_tiles = _use_tiling(n_ys, n_xs, tuple(out_shape))
 
-    def fn(img, y, x, valid):
-        box = img[iy0:iy1, ix0:ix1].astype(jnp.float64)
+    def fn(img, iy0, ix0, y, x, valid):
+        iy0f = iy0.astype(jnp.float64)
+        ix0f = ix0.astype(jnp.float64)
+        box = lax.dynamic_slice(
+            img, (iy0, ix0), (ny_b, nx_b)
+        ).astype(jnp.float64)
         intermediate = _pchip_axis(jnp, lax, box, n_xs, kx_rep)
         final = _pchip_axis(
             jnp, lax, jnp.swapaxes(intermediate, 0, 1), n_ys, ky_rep
@@ -409,7 +455,8 @@ def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
             vt = to_tiles(valid, False)
             out = lax.map(
                 lambda a: sample_tile(
-                    grid_f32, grid_nan, a[0], a[1], a[2], img_nan
+                    grid_f32, grid_nan, iy0f, ix0f, a[0], a[1], a[2],
+                    img_nan,
                 ),
                 (yt, xt, vt),
             )
@@ -429,7 +476,7 @@ def _smooth_fn(ny: int, nx: int, iy0: int, iy1: int, ix0: int, ix1: int,
         vp = jnp.pad(valid, (0, pad)).reshape(n_chunks, chunk)
         out = lax.map(
             lambda a: sample_chunk(
-                grid_f32, grid_nan, a[0], a[1], a[2], img_nan
+                grid_f32, grid_nan, iy0f, ix0f, a[0], a[1], a[2], img_nan
             ),
             (yp, xp, vp),
         )
@@ -456,7 +503,9 @@ def smooth_interpolation_device(
     img = np.asarray(img)
     ny, nx = img.shape
     out_shape = x_map.shape
-    if np.all(np.isnan(img)) or not np.any(np.isfinite(x_map)):
+    if np.all(np.isnan(img)) or not np.any(
+        np.isfinite(x_map) & np.isfinite(y_map)
+    ):
         result = np.full(out_shape, np.nan)
         return result if as_numpy else jnp.asarray(result, jnp.float32)
 
@@ -483,10 +532,14 @@ def smooth_interpolation_device(
 
     x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
     fn = _smooth_fn(
-        ny, nx, iy0, iy1, ix0, ix1, ky_rep, kx_rep, propagate_nan,
+        ny, nx, iy1 - iy0, ix1 - ix0, ky_rep, kx_rep, propagate_nan,
         tuple(out_shape),
     )
-    vals = fn(jnp.asarray(img, dtype=jnp.float64), y_dev, x_dev, valid_dev)
+    vals = fn(
+        jnp.asarray(img, dtype=jnp.float64),
+        jnp.int32(iy0), jnp.int32(ix0),
+        y_dev, x_dev, valid_dev,
+    )
     vals = vals.reshape(out_shape)
     if as_numpy:
         # match the host implementation's float64 output

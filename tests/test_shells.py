@@ -922,6 +922,49 @@ class TestDeviceSolveInterp:
 class TestDeviceSmooth:
     """Device PCHIP 'smooth' mode vs the host scipy implementation."""
 
+    def test_all_nan_y_map(self):
+        # regression: an all-NaN y_map with finite x_map crashed with
+        # "cannot convert float NaN to integer" in the box computation
+        from planetmapper_tpu.ops import pchip_device
+
+        img = np.arange(12.0).reshape(3, 4)
+        x = np.full((5, 6), 1.0)
+        y = np.full((5, 6), np.nan)
+        out = pchip_device.smooth_interpolation_device(
+            img, x, y, propagate_nan=True, oversample_by=5,
+            max_oversampled_img_size=10000,
+        )
+        assert np.isnan(out).all()
+
+    def test_translation_reuses_program(self):
+        # regression: the compiled program was keyed on the box's
+        # absolute pixel coordinates, so translating the map (GUI
+        # scrubbing, disc fitting) recompiled every call
+        from planetmapper_tpu.ops import interp, pchip_device
+
+        rng = np.random.default_rng(17)
+        img = rng.normal(size=(40, 40)).cumsum(axis=0) * 0.1
+        base_x = rng.uniform(8.0, 16.0, (9, 11))
+        base_y = rng.uniform(9.0, 17.0, (9, 11))
+        pchip_device._smooth_fn.cache_clear()
+        for shift in (0.0, 3.0, 11.0):
+            out = pchip_device.smooth_interpolation_device(
+                img, base_x + shift, base_y + shift,
+                propagate_nan=True, oversample_by=5,
+                max_oversampled_img_size=10000,
+            )
+            ref = np.full(base_x.shape, np.nan)
+            interp.smooth_interpolation(
+                img, base_x + shift, base_y + shift, ref,
+                propagate_nan=True, oversample_by=5,
+                max_oversampled_img_size=10000,
+            )
+            assert np.array_equal(np.isnan(out), np.isnan(ref))
+            np.testing.assert_allclose(
+                np.nan_to_num(out), np.nan_to_num(ref), atol=2e-6
+            )
+        assert pchip_device._smooth_fn.cache_info().currsize == 1
+
     @pytest.mark.parametrize('propagate_nan', [True, False])
     def test_matches_host(self, propagate_nan):
         from planetmapper_tpu.ops import interp, pchip_device
@@ -972,8 +1015,13 @@ class TestDeviceSmooth:
         x[0, :3] = np.nan
         y[5, 5] = -20.0
         # sanity: this configuration must actually use the tiled path
+        # (gate shared with interp_device)
+        from planetmapper_tpu.ops import interp_device
+
         n_box = 120 * 5 - 4
-        assert n_box * (110 * 5 - 4) > pchip_device._TILING_MIN_CELLS
+        assert interp_device._use_tiling(
+            n_box, 110 * 5 - 4, (72, 80)
+        )
         assert x.size >= pchip_device._TILE**2
         ref = np.full(x.shape, np.nan)
         interp.smooth_interpolation(
