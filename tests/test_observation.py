@@ -332,3 +332,56 @@ class TestSaveReload:
         assert dr == pytest.approx(0.0, abs=1e-6)
         dra, ddec = obs.get_wcs_arcsec_offset(suppress_warnings=True)
         assert abs(dra) > 0 or abs(ddec) > 0
+
+    def test_wcs_offset_reference_goldens(self):
+        # reference tests/test_observation.py:714 (test_wcs_offset)
+        obs = Observation(os.path.join(INPUTS, 'wcs.fits'))
+        obs.disc_from_wcs(suppress_warnings=True)
+        np.testing.assert_allclose(
+            obs.get_disc_params(),
+            (198.87871682168858, -31.89770255438151,
+             164.4473594677842, 260.32237572846986),
+            atol=0.2,
+        )
+        adjustment = (1.23, -4.56, 7.89, 10.11)
+        obs.adjust_disc_params(*adjustment)
+        np.testing.assert_allclose(
+            obs.get_wcs_offset(suppress_warnings=True), adjustment,
+            atol=1e-6,
+        )
+        obs.adjust_disc_params(dx=10)
+        np.testing.assert_allclose(
+            obs.get_wcs_offset(suppress_warnings=True),
+            (11.23, -4.56, 7.89, 10.11), atol=1e-6,
+        )
+        obs.disc_from_wcs(suppress_warnings=True)
+        obs.add_arcsec_offset(1, 2.5)
+        np.testing.assert_allclose(
+            obs.get_wcs_arcsec_offset(suppress_warnings=True), (1, 2.5),
+            atol=1e-3,
+        )
+        obs.add_arcsec_offset(10)
+        np.testing.assert_allclose(
+            obs.get_wcs_arcsec_offset(suppress_warnings=True), (11, 2.5),
+            atol=1e-3,
+        )
+        # scale/rotation changes make the arcsec offset ill-defined
+        # unless the position-only check is disabled
+        obs.disc_from_wcs(suppress_warnings=True)
+        obs.adjust_disc_params(dr=10)
+        with pytest.raises(ValueError):
+            obs.get_wcs_arcsec_offset(suppress_warnings=True)
+        obs.get_wcs_arcsec_offset(
+            suppress_warnings=True, check_is_position_offset_only=False
+        )
+        obs.disc_from_wcs(suppress_warnings=True)
+        obs.adjust_disc_params(drotation=123)
+        with pytest.raises(ValueError):
+            obs.get_wcs_arcsec_offset(suppress_warnings=True)
+        obs.get_wcs_arcsec_offset(
+            suppress_warnings=True, check_is_position_offset_only=False
+        )
+        # no wraparound false-positive for a tiny negative drotation
+        obs.disc_from_wcs(suppress_warnings=True)
+        obs.adjust_disc_params(drotation=-1e-6)
+        obs.get_wcs_arcsec_offset(suppress_warnings=True)
