@@ -333,6 +333,44 @@ class TestSaveReload:
         dra, ddec = obs.get_wcs_arcsec_offset(suppress_warnings=True)
         assert abs(dra) > 0 or abs(ddec) > 0
 
+    def test_partial_wcs_navigation(self):
+        # reference tests/test_observation.py:523 (test_stuff_from_wcs)
+        no_wcs = Observation(
+            data=np.ones((4, 5, 6)),
+            header={'OBJECT': 'jupiter', 'DATE-OBS': '2005-01-01'},
+        )
+        for fn in (
+            no_wcs.disc_from_wcs, no_wcs.position_from_wcs,
+            no_wcs.rotation_from_wcs, no_wcs.plate_scale_from_wcs,
+        ):
+            with pytest.raises(ValueError):
+                fn(suppress_warnings=True)
+        x0, y0 = 198.87871682168858, -31.89770255438151
+        r0, rotation = 164.4473594677842, 260.32237572846986
+        obs = Observation(os.path.join(INPUTS, 'wcs.fits'))
+        obs.set_disc_params(0, 0, 1, 0)
+        obs.disc_from_wcs(suppress_warnings=True)
+        assert obs.get_disc_method() == 'wcs'
+        np.testing.assert_allclose(
+            obs.get_disc_params(), (x0, y0, r0, rotation), atol=0.2
+        )
+        obs.set_disc_params(0, 0, 1, 0)
+        obs.position_from_wcs(suppress_warnings=True)
+        assert obs.get_disc_method() == 'wcs_position'
+        assert obs.get_x0() == pytest.approx(x0, abs=0.2)
+        assert obs.get_y0() == pytest.approx(y0, abs=0.2)
+        assert obs.get_r0() == 1  # untouched
+        obs.set_disc_params(0, 0, 1, 0)
+        obs.rotation_from_wcs(suppress_warnings=True)
+        assert obs.get_disc_method() == 'wcs_rotation'
+        assert obs.get_rotation() == pytest.approx(rotation, abs=0.2)
+        assert obs.get_x0() == 0
+        obs.set_disc_params(0, 0, 1, 0)
+        obs.plate_scale_from_wcs(suppress_warnings=True)
+        assert obs.get_disc_method() == 'wcs_plate_scale'
+        assert obs.get_r0() == pytest.approx(r0, abs=0.2)
+        assert obs.get_x0() == 0
+
     def test_wcs_offset_reference_goldens(self):
         # reference tests/test_observation.py:714 (test_wcs_offset)
         obs = Observation(os.path.join(INPUTS, 'wcs.fits'))
