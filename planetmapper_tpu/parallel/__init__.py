@@ -3,7 +3,7 @@ Multi-chip scaling: device meshes, sharded pipelines, gradient disc fitting
 and batched-time evaluation.
 """
 
-from .sharding import make_mesh, sharded_backplanes
+from .sharding import make_mesh, sharded_backplanes, sharded_map_img
 from .fit import fit_disc_gradient, make_training_step
 from .timeseries import backplane_time_series
 from .multihost import (
@@ -16,6 +16,7 @@ from .multihost import (
 __all__ = [
     'make_mesh',
     'sharded_backplanes',
+    'sharded_map_img',
     'fit_disc_gradient',
     'make_training_step',
     'backplane_time_series',

@@ -100,3 +100,95 @@ def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
     if ny_padded != ny:
         out = {k: v[:ny] for k, v in out.items()}
     return out
+
+
+def sharded_map_img(
+    body, img, mesh=None, *, interpolation='linear',
+    propagate_nan: bool = True, warn_nan: bool = False,
+    as_numpy: bool = True, **map_kwargs,
+):
+    """
+    Map-project an image with the MAP ROW axis sharded across the mesh.
+
+    The reprojection is embarrassingly parallel over map cells: each
+    device solves the (small, replicated) spline coefficient system for
+    the frame and evaluates its block of map rows against it with the
+    gather-free one-hot contraction - no collectives on the compute
+    path. Matches :meth:`BodyXY.map_img` for the spline interpolation
+    modes (``'linear'``/``'quadratic'``/``'cubic'`` or an
+    ``(order_y, order_x)`` tuple, reference body_xy.py:1651-1702).
+
+    Intended for large maps (e.g. 8192x4096 global mosaics) and cube
+    streaming on multi-chip hosts; for single-chip use
+    :meth:`BodyXY.map_img` directly.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import interp_device as idev
+
+    aliases = {'linear': 1, 'quadratic': 2, 'cubic': 3}
+    if isinstance(interpolation, str):
+        interpolation = aliases[interpolation]
+    if isinstance(interpolation, int):
+        kx = ky = interpolation
+    else:
+        ky, kx = interpolation  # reference tuple order: rows first
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    n_shard = mesh.shape[axis]
+
+    x_map = np.asarray(body.get_x_map(**map_kwargs), dtype=np.float64)
+    y_map = np.asarray(body.get_y_map(**map_kwargs), dtype=np.float64)
+    my, mx = x_map.shape
+    my_pad = _pad_to_multiple(my, n_shard)
+    if my_pad != my:
+        fill = np.full((my_pad - my, mx), np.nan)
+        x_map = np.concatenate([x_map, fill], axis=0)
+        y_map = np.concatenate([y_map, fill], axis=0)
+    my_blk = my_pad // n_shard
+
+    img = np.asarray(img, dtype=np.float64)
+    ny_i, nx_i = img.shape
+    ty, tx, ainv_y, ainv_x = idev._grid_spline_solver(ny_i, nx_i, kx, ky)
+    eval_all = idev._make_onehot_eval(
+        kx, ky, batched=False, propagate_nan=propagate_nan,
+        out_shape=(my_blk, mx),
+    )
+
+    def block_fn(ty, tx, ay, ax, frame, y, x, valid):
+        # replicated per-device: NaN infill + the two small collocation
+        # matmuls (trivial next to the per-block evaluation)
+        cleaned, nans = idev._infill_device(jnp, frame)
+        c2 = jnp.matmul(
+            ay,
+            jnp.matmul(cleaned, ax.T, precision=lax.Precision.HIGHEST),
+            precision=lax.Precision.HIGHEST,
+        )
+        return eval_all(
+            ty, tx, c2.astype(jnp.float32), nans.astype(jnp.float32),
+            y, x, valid,
+        )
+
+    fn = jax.jit(shard_map(
+        block_fn, mesh=mesh,
+        in_specs=(None, None, None, None, None, P(axis), P(axis),
+                  P(axis)),
+        out_specs=P(axis),
+    ))
+    valid = np.isfinite(x_map) & np.isfinite(y_map)
+    out = fn(
+        ty, tx, ainv_y, ainv_x, jnp.asarray(img),
+        jnp.asarray(np.where(valid, y_map, 0.0).ravel()),
+        jnp.asarray(np.where(valid, x_map, 0.0).ravel()),
+        jnp.asarray(valid.ravel()),
+    )
+    out = out.reshape(my_pad, mx)[:my]
+    if as_numpy:
+        return np.asarray(out, dtype=np.float64)
+    return out

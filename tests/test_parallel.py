@@ -54,6 +54,31 @@ class TestShardedBackplanes:
         assert np.asarray(sharded['EMISSION']).shape == (7, 10)
 
 
+class TestShardedMapImg:
+    @pytest.mark.parametrize('interpolation', ['linear', 'cubic'])
+    def test_matches_unsharded(self, interpolation):
+        from planetmapper_tpu.parallel import sharded_map_img
+
+        body = BodyXY('Jupiter', utc='2005-01-01', nx=20, ny=16)
+        body.set_disc_params(10, 8, 7, 15.0)
+        rng = np.random.default_rng(5)
+        img = rng.normal(size=(16, 20)).cumsum(axis=0)
+        img[4, 7] = np.nan
+        kwargs = {'projection': 'rectangular', 'degree_interval': 10}
+        mesh = make_mesh(4)
+        sharded = sharded_map_img(
+            body, img, mesh, interpolation=interpolation, **kwargs
+        )
+        reference = np.asarray(body.map_img(
+            img, interpolation=interpolation, **kwargs
+        ))
+        assert sharded.shape == reference.shape  # (18, 36) rows uneven->pad
+        assert np.array_equal(np.isnan(sharded), np.isnan(reference))
+        np.testing.assert_allclose(
+            np.nan_to_num(sharded), np.nan_to_num(reference), atol=1e-5
+        )
+
+
 class TestGradientFit:
     def test_fit_recovers_disc(self):
         # Render a synthetic disc with known parameters, then recover them
