@@ -36,6 +36,7 @@ from planetmapper_tpu.parallel import (
     backplane_time_series,
     make_mesh,
     sharded_backplanes,
+    sharded_map_img,
 )
 
 
@@ -47,6 +48,18 @@ def sharded_pixels():
     body.set_disc_params(128, 128, 100, 0)
     out = sharded_backplanes(body, mesh=mesh)
     print('sharded EMISSION shape:', out['EMISSION'].shape)
+
+
+def sharded_map():
+    """Reproject one frame onto a map with the row axis sharded."""
+    body = pm.BodyXY('Jupiter', observer='EARTH', utc='2005-01-01', sz=64)
+    body.set_disc_params(32, 32, 25, 0)
+    img = np.random.default_rng(0).normal(size=(64, 64))
+    mapped = sharded_map_img(
+        body, img, make_mesh(), interpolation='cubic',
+        projection='rectangular', degree_interval=2,
+    )
+    print('sharded map shape:', mapped.shape)
 
 
 def sharded_times():
@@ -73,5 +86,6 @@ def multihost_note():
 
 if __name__ == '__main__':
     sharded_pixels()
+    sharded_map()
     sharded_times()
     multihost_note()
