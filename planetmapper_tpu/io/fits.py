@@ -85,6 +85,11 @@ class Card:
             prefix = f'HIERARCH {kw} = '
         else:
             prefix = f'{kw:<8}= '
+        if (
+            isinstance(self.value, str)
+            and len(prefix) + len(_format_value(self.value)) > 80
+        ):
+            return self._format_long_string(prefix)
         value_str = _format_value(self.value)
         # Right-justify simple values to column 30 where possible
         if not isinstance(self.value, str) and len(prefix) == 10:
@@ -98,6 +103,33 @@ class Card:
             # Truncate (long strings should be pre-truncated by callers)
             card = card[:80]
         return [f'{card:<80}']
+
+    def _format_long_string(self, prefix: str) -> list[str]:
+        """FITS long-string convention: the value spans several cards,
+        each ending in ``'&'`` with the remainder on CONTINUE cards (the
+        same convention :meth:`Header.fromstring` reassembles)."""
+        escaped = str(self.value).replace("'", "''")
+        images = []
+        first = True
+        while True:
+            head = prefix if first else 'CONTINUE  '
+            room = 80 - len(head) - 2  # quotes
+            if len(escaped) <= room:
+                images.append(f"{head}'{escaped}'".ljust(80))
+                break
+            # never split an escaped quote pair across cards
+            cut = room - 1  # leave room for the '&' continuation marker
+            if escaped[cut - 1] == "'" and escaped[cut] == "'":
+                cut -= 1
+            images.append(f"{head}'{escaped[:cut]}&'".ljust(80))
+            escaped = escaped[cut:]
+            first = False
+        if self.comment:
+            room = 80 - 13
+            images.append(
+                f"CONTINUE  '' / {self.comment[:room - 3]}".ljust(80)
+            )
+        return images
 
 
 def _normalise_keyword(keyword: str) -> str:
@@ -394,18 +426,14 @@ class Header:
                 if kw8.strip() and not image[8:].strip():
                     header.append(Card(kw8.rstrip(), None))
                 continue
-            if kw8.rstrip() == 'HIERARCH' or (
-                image[8] != '=' and kw8.rstrip() == 'HIERARCH'
-            ):
+            if kw8.rstrip() == 'HIERARCH':
                 body = image[9:]
                 eq = body.find('=')
                 keyword = body[:eq].strip()
                 rest = body[eq + 1:]
-            elif image[8:10] == '= ' or image[8] == '=':
+            elif image[8] == '=':
                 keyword = kw8.rstrip()
-                rest = image[9 if image[8] == '=' else 10:]
-                if image[8] == '=':
-                    rest = image[9:]
+                rest = image[9:]
             else:
                 # Possibly HIERARCH-style without leading keyword match
                 eq = image.find('=')
@@ -445,10 +473,7 @@ class _BaseHDU:
             cards.append(Card('BITPIX', 8, 'array data type'))
             cards.append(Card('NAXIS', 0, 'number of array dimensions'))
         else:
-            bitpix = _DTYPE_BITPIX.get(data.dtype.name)
-            if bitpix is None:
-                data = np.asarray(data, dtype=np.float64)
-                bitpix = -64
+            bitpix, bzero, _stored = _encode_data(data)
             cards.append(Card('BITPIX', bitpix, 'array data type'))
             cards.append(Card('NAXIS', data.ndim, 'number of array dimensions'))
             for i, n in enumerate(reversed(data.shape)):
@@ -465,20 +490,24 @@ class _BaseHDU:
             ''.join(card.format()).encode('ascii', errors='replace')
             for card in self._structural_cards(primary)
         )
+        data = self.data
+        bzero = 0
+        stored = None
+        if data is not None:
+            _bitpix, bzero, stored = _encode_data(data)
+            if bzero != 0:
+                # unsigned-integer convention (astropy does the same)
+                cards_bytes += ''.join(
+                    Card('BZERO', bzero, 'offset data range').format()
+                    + Card('BSCALE', 1, 'default scaling factor').format()
+                ).encode('ascii')
         cards_bytes += self.header.tostring()
         cards_bytes += b'END' + b' ' * 77
         pad = (-len(cards_bytes)) % BLOCK
         out = cards_bytes + b' ' * pad
 
-        data = self.data
-        if data is not None:
-            bitpix = _DTYPE_BITPIX.get(data.dtype.name)
-            if bitpix is None:
-                data = np.asarray(data, dtype=np.float64)
-                bitpix = -64
-            raw = np.ascontiguousarray(
-                data, dtype=_BITPIX_DTYPES[bitpix]
-            ).tobytes()
+        if stored is not None:
+            raw = stored.tobytes()
             pad = (-len(raw)) % BLOCK
             out += raw + b'\x00' * pad
         return out
@@ -559,7 +588,6 @@ def open(path: str | os.PathLike, memmap: bool = False, **kwargs) -> HDUList:  #
             if not header_raw.strip():
                 break
         header = Header.fromstring(header_raw)
-        full = Header.fromstring(header_raw)
         # Structural info must come from the raw header (tostring skips them)
         bitpix = int(_header_raw_value(header_raw, 'BITPIX', 8))
         naxis = int(_header_raw_value(header_raw, 'NAXIS', 0))
@@ -576,15 +604,79 @@ def open(path: str | os.PathLike, memmap: bool = False, **kwargs) -> HDUList:  #
                 data_raw, dtype=_BITPIX_DTYPES[bitpix], count=count
             ).reshape(shape)
             data = data.astype(data.dtype.newbyteorder('='))
-            bscale = full.get('BSCALE', 1)
-            bzero = full.get('BZERO', 0)
+            bscale = header.get('BSCALE', 1)
+            bzero = header.get('BZERO', 0)
             if bscale != 1 or bzero != 0:
-                data = data * bscale + bzero
+                data = _apply_scaling(data, bscale, bzero)
+                # the data now holds physical values: keeping the cards
+                # would double-scale on the next read of a rewritten file
+                for kw in ('BSCALE', 'BZERO'):
+                    if kw in header:
+                        del header[kw]
         cls = PrimaryHDU if first else ImageHDU
         hdu = cls(data=data, header=header)
         hdus.append(hdu)
         first = False
     return hdus
+
+
+#: The FITS unsigned-integer convention: a signed stored type plus this
+#: BZERO offset (with BSCALE=1) represents the unsigned type (and u1-128
+#: represents int8). Applied losslessly: (stored + 2^(n-1)) mod 2^n is a
+#: same-width reinterpretation, so wrapping unsigned addition implements
+#: it without overflow.
+_UNSIGNED_CONVENTION = {
+    ('int16', 32768): np.uint16,
+    ('int32', 2147483648): np.uint32,
+    ('int64', 9223372036854775808): np.uint64,
+    ('uint8', -128): np.int8,
+}
+
+
+def _encode_data(data: np.ndarray):
+    """
+    ``(bitpix, bzero, stored)`` for writing an array: FITS has no
+    unsigned 16/32/64-bit or signed 8-bit types, so those use the BZERO
+    offset convention (the exact inverse of :func:`_apply_scaling`'s
+    integer branch - wrapping same-width arithmetic, lossless for every
+    value). Unsupported dtypes fall back to float64.
+    """
+    name = data.dtype.name
+    offsets = {
+        'uint16': 32768, 'uint32': 2147483648,
+        'uint64': 9223372036854775808, 'int8': -128,
+    }
+    bzero = offsets.get(name)
+    if bzero is not None:
+        signed = name != 'int8'
+        stored_t = np.dtype(f'i{data.dtype.itemsize}' if signed
+                            else f'u{data.dtype.itemsize}')
+        offset = np.array(bzero).astype(data.dtype)  # wraps to 2^(n-1)
+        stored = np.ascontiguousarray(
+            (data - offset).view(stored_t),
+            dtype=stored_t.newbyteorder('>'),
+        )
+        return _DTYPE_BITPIX[name], bzero, stored
+    bitpix = _DTYPE_BITPIX.get(name)
+    if bitpix is None:
+        data = np.asarray(data, dtype=np.float64)
+        bitpix = -64
+    stored = np.ascontiguousarray(data, dtype=_BITPIX_DTYPES[bitpix])
+    return bitpix, 0, stored
+
+
+def _apply_scaling(data: np.ndarray, bscale, bzero) -> np.ndarray:
+    """Physical values from stored values per BSCALE/BZERO."""
+    target = _UNSIGNED_CONVENTION.get((data.dtype.name, bzero))
+    if bscale == 1 and target is not None and data.dtype.kind in 'iu':
+        unsigned = data.dtype.name != 'uint8'
+        view_t = np.dtype(f'u{data.dtype.itemsize}' if unsigned
+                          else f'i{data.dtype.itemsize}')
+        offset = np.array(bzero).astype(view_t)  # wraps to 2^(n-1)
+        return (data.view(view_t) + offset).view(target)
+    # general case: physical values are real-valued; upcast BEFORE the
+    # arithmetic (int16 + 32768 overflows the stored dtype on numpy 2)
+    return data.astype(np.float64) * bscale + bzero
 
 
 def _header_raw_value(header_raw: bytes, keyword: str, default):

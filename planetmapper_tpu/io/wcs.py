@@ -28,6 +28,9 @@ class WCS:
         self.naxis = 0
         self.wcs_valid = False
         self.ctype = ('', '')
+        self.cunit = ('deg', 'deg')
+        self.lonpole = None
+        self._axes_swapped = False
         self.crpix = np.array([1.0, 1.0])
         self.crval = np.array([0.0, 0.0])
         self.matrix = np.eye(2)  # CD matrix: intermediate = CD @ (p - crpix)
@@ -50,12 +53,25 @@ class WCS:
         if not (ctype1 and ctype2):
             return
         self.ctype = (ctype1, ctype2)
+        self.cunit = (
+            str(get('CUNIT1', 'deg') or 'deg').strip(),
+            str(get('CUNIT2', 'deg') or 'deg').strip(),
+        )
+        # axis order: a legal header may carry DEC on axis 1 and RA on
+        # axis 2; the projection math below works on (ra-like, dec-like)
+        # intermediate coordinates, so record the swap
+        self._axes_swapped = ctype1.upper().startswith(
+            'DEC'
+        ) and ctype2.upper().startswith('RA')
         self.crpix = np.array(
             [float(get('CRPIX1', 1.0)), float(get('CRPIX2', 1.0))]
         )
         self.crval = np.array(
             [float(get('CRVAL1', 0.0)), float(get('CRVAL2', 0.0))]
         )
+        self.lonpole = get('LONPOLE')
+        if self.lonpole is not None:
+            self.lonpole = float(self.lonpole)
 
         cd = np.array(
             [
@@ -125,7 +141,10 @@ class WCS:
 
     @property
     def world_axis_units(self):
-        return ['deg', 'deg'] if self.wcs_valid else []
+        # real header units: observation.disc_from_wcs guards on these
+        # being degrees, so hardcoding 'deg' would defeat the check and
+        # navigate with silently mis-scaled coordinates
+        return list(self.cunit) if self.wcs_valid else []
 
     @property
     def world_axis_physical_types(self):
@@ -145,8 +164,14 @@ class WCS:
     def _projection_code(self) -> str:
         if not self.wcs_valid:
             raise ValueError('No WCS information available')
-        proj = self.ctype[0][-3:].upper()
-        if proj in ('LIN', '   ') or self.ctype[0].strip() in ('X', 'Y', ''):
+        ctype = self.ctype[0].upper()
+        # the SIP convention appends '-SIP' to the projection code
+        # (CTYPE1 = 'RA---TAN-SIP'); the distortion itself is applied
+        # via the A_*/B_* polynomials in pix2foc
+        if ctype.endswith('-SIP'):
+            ctype = ctype[:-4]
+        proj = ctype[-3:]
+        if proj in ('LIN', '   ') or ctype.strip() in ('X', 'Y', ''):
             return 'LIN'
         if proj not in _ZENITHAL_FROM_R:
             raise NotImplementedError(
@@ -157,7 +182,8 @@ class WCS:
         return proj
 
     def pixel_to_world_values(self, x, y):
-        """0-based pixel coordinates to (ra, dec) in degrees."""
+        """0-based pixel coordinates to world values in degrees, in AXIS
+        order (``(ra, dec)`` for the usual RA-first headers)."""
         proj = self._projection_code()
         x = np.asarray(x, dtype=float)
         y = np.asarray(y, dtype=float)
@@ -169,28 +195,36 @@ class WCS:
             axis=-1,
         )
         inter = dp @ self.matrix.T  # intermediate world coords [deg]
+        lon_ax = 1 if self._axes_swapped else 0
         if proj == 'LIN':
-            ra = self.crval[0] + inter[..., 0]
-            dec = self.crval[1] + inter[..., 1]
+            ra = self.crval[lon_ax] + inter[..., lon_ax]
+            dec = self.crval[1 - lon_ax] + inter[..., 1 - lon_ax]
         else:
             ra, dec = self._plane_to_world(
-                inter[..., 0], inter[..., 1], proj
+                inter[..., lon_ax], inter[..., 1 - lon_ax], proj
             )
+        if self._axes_swapped:
+            ra, dec = dec, ra
         if np.ndim(ra) == 0:
             return float(ra), float(dec)
         return ra, dec
 
-    def world_to_pixel_values(self, ra, dec):
-        """(ra, dec) in degrees to 0-based pixel coordinates."""
+    def world_to_pixel_values(self, w1, w2):
+        """World values in AXIS order (``(ra, dec)`` for RA-first
+        headers) to 0-based pixel coordinates."""
         proj = self._projection_code()
+        ra, dec = (w2, w1) if self._axes_swapped else (w1, w2)
+        lon_ax = 1 if self._axes_swapped else 0
         if proj == 'LIN':
-            xi = np.asarray(ra, dtype=float) - self.crval[0]
-            eta = np.asarray(dec, dtype=float) - self.crval[1]
+            xi = np.asarray(ra, dtype=float) - self.crval[lon_ax]
+            eta = np.asarray(dec, dtype=float) - self.crval[1 - lon_ax]
         else:
             xi, eta = self._world_to_plane(
                 np.asarray(ra, dtype=float), np.asarray(dec, dtype=float),
                 proj,
             )
+        if self._axes_swapped:
+            xi, eta = eta, xi
         inter = np.stack(np.broadcast_arrays(xi, eta), axis=-1)
         dp = inter @ np.linalg.inv(self.matrix).T
         x = dp[..., 0] + self.crpix[0] - 1
@@ -225,22 +259,41 @@ class WCS:
     # radian units (the degree<->radian scaling of the FITS papers is
     # absorbed when converting xi/eta).
     # ------------------------------------------------------------------
+    def _ra0_dec0_phip(self):
+        """Reference point and native longitude of the celestial pole
+        (LONPOLE) in radians. The FITS default LONPOLE is 180 deg for
+        zenithal projections except when the reference point IS the pole
+        (CRVAL dec = +90: default 0; dec = -90: default 180 holds)."""
+        lon_ax = 1 if self._axes_swapped else 0
+        ra0 = math.radians(self.crval[lon_ax])
+        dec0 = math.radians(self.crval[1 - lon_ax])
+        if self.lonpole is not None:
+            phi_p = math.radians(self.lonpole)
+        elif self.crval[1 - lon_ax] >= 90.0:
+            phi_p = 0.0
+        else:
+            phi_p = math.pi
+        return ra0, dec0, phi_p
+
     def _plane_to_world(self, xi, eta, proj: str):
         xi = np.radians(xi)
         eta = np.radians(eta)
-        ra0 = math.radians(self.crval[0])
-        dec0 = math.radians(self.crval[1])
+        ra0, dec0, phi_p = self._ra0_dec0_phip()
         r = np.hypot(xi, eta)
         with np.errstate(invalid='ignore', divide='ignore'):
             theta = _ZENITHAL_FROM_R[proj](r)
         phi = np.arctan2(xi, -eta)  # native longitude
+        dphi = phi - phi_p
         sin_t, cos_t = np.sin(theta), np.cos(theta)
         sin_d0, cos_d0 = math.sin(dec0), math.cos(dec0)
+        # native -> celestial rotation about the pole at (ra0, dec0)
+        # (Calabretta & Greisen 2002 eq 2, with general LONPOLE)
         dec = np.arcsin(
-            np.clip(sin_t * sin_d0 - cos_t * np.cos(phi) * cos_d0, -1, 1)
+            np.clip(sin_t * sin_d0 + cos_t * np.cos(dphi) * cos_d0, -1, 1)
         )
         ra = ra0 + np.arctan2(
-            cos_t * np.sin(phi), sin_t * cos_d0 + cos_t * np.cos(phi) * sin_d0
+            -cos_t * np.sin(dphi),
+            sin_t * cos_d0 - cos_t * np.cos(dphi) * sin_d0,
         )
         dec = np.where(np.isnan(theta), np.nan, dec)
         ra = np.where(np.isnan(theta), np.nan, ra)
@@ -249,18 +302,17 @@ class WCS:
     def _world_to_plane(self, ra, dec, proj: str):
         ra = np.radians(ra)
         dec = np.radians(dec)
-        ra0 = math.radians(self.crval[0])
-        dec0 = math.radians(self.crval[1])
+        ra0, dec0, phi_p = self._ra0_dec0_phip()
         sin_d, cos_d = np.sin(dec), np.cos(dec)
         sin_d0, cos_d0 = math.sin(dec0), math.cos(dec0)
         cos_dra = np.cos(ra - ra0)
-        # native coordinates
+        # native coordinates (inverse rotation, eq 5)
         theta = np.arcsin(
             np.clip(sin_d * sin_d0 + cos_d * cos_d0 * cos_dra, -1, 1)
         )
-        phi = np.arctan2(
-            cos_d * np.sin(ra - ra0),
-            cos_d * cos_dra * sin_d0 - sin_d * cos_d0,
+        phi = phi_p + np.arctan2(
+            -cos_d * np.sin(ra - ra0),
+            sin_d * cos_d0 - cos_d * sin_d0 * cos_dra,
         )
         with np.errstate(divide='ignore', invalid='ignore'):
             r = _ZENITHAL_TO_R[proj](theta)

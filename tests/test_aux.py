@@ -253,6 +253,69 @@ class TestFitsHeader:
         out = fits.open(path)[0].data
         np.testing.assert_array_equal(out, data)
 
+    def test_unsigned_convention_read(self, tmp_path):
+        # standard telescope uint16 files: int16 stored + BZERO=32768
+        # (previously crashed with OverflowError under numpy 2)
+        h = fits.Header()
+        h['BZERO'] = 32768
+        h['BSCALE'] = 1
+        raw = np.array([[-32768, 0, 32767]], dtype=np.int16)
+        path = str(tmp_path / 'u16.fits')
+        fits.HDUList([fits.PrimaryHDU(data=raw, header=h)]).writeto(path)
+        hdu = fits.open(path)[0]
+        assert hdu.data.dtype == np.uint16
+        np.testing.assert_array_equal(hdu.data, [[0, 32768, 65535]])
+        # the applied cards are removed so a rewrite can't double-scale
+        assert 'BZERO' not in hdu.header and 'BSCALE' not in hdu.header
+        path2 = str(tmp_path / 'rt.fits')
+        fits.HDUList([hdu]).writeto(path2)
+        np.testing.assert_array_equal(
+            fits.open(path2)[0].data, [[0, 32768, 65535]]
+        )
+
+    @pytest.mark.parametrize('dtype,values', [
+        (np.uint16, [[40000, 1, 65535]]),
+        (np.uint32, [[3_000_000_000, 0, 4_294_967_295]]),
+        (np.int8, [[-128, -1, 127]]),
+    ])
+    def test_unsigned_convention_write(self, tmp_path, dtype, values):
+        # FITS has no unsigned 16/32-bit (or signed 8-bit) types: the
+        # writer must use the BZERO offset convention losslessly
+        data = np.array(values, dtype=dtype)
+        path = str(tmp_path / 'u.fits')
+        fits.HDUList([fits.PrimaryHDU(data=data)]).writeto(path)
+        out = fits.open(path)[0].data
+        assert out.dtype == dtype
+        np.testing.assert_array_equal(out, data)
+
+    def test_general_scaling_applied_once(self, tmp_path):
+        h = fits.Header()
+        h['BSCALE'] = 2.0
+        h['BZERO'] = 1000.0
+        path = str(tmp_path / 'sc.fits')
+        fits.HDUList([fits.PrimaryHDU(
+            data=np.array([[100]], dtype=np.int16), header=h
+        )]).writeto(path)
+        hdu = fits.open(path)[0]
+        np.testing.assert_allclose(hdu.data, [[1200.0]])
+        path2 = str(tmp_path / 'sc2.fits')
+        fits.HDUList([hdu]).writeto(path2)
+        np.testing.assert_allclose(fits.open(path2)[0].data, [[1200.0]])
+
+    def test_long_string_continue_roundtrip(self, tmp_path):
+        # >80-byte cards must use the CONTINUE long-string convention
+        # (previously silently truncated)
+        h = fits.Header()
+        h['FILENAME'] = 'a_very/long/path_' + 'x' * 90 + "_with_'quotes'"
+        h['AFTER'] = 7
+        path = str(tmp_path / 'ls.fits')
+        fits.HDUList([fits.PrimaryHDU(
+            data=np.zeros((2, 2)), header=h
+        )]).writeto(path)
+        h2 = fits.open(path)[0].header
+        assert h2['FILENAME'] == h['FILENAME']
+        assert h2['AFTER'] == 7
+
 
 class TestWcs:
     def test_tan_roundtrip(self):
@@ -379,4 +442,98 @@ class TestWcs:
         ))
         with pytest.raises(NotImplementedError, match='AIT'):
             w.pixel_to_world_values(0.0, 0.0)
+
+    def test_sip_suffixed_ctype(self):
+        # 'RA---TAN-SIP' is the standard CTYPE for files carrying the
+        # A_*/B_* coefficients this class evaluates
+        from planetmapper_tpu.io.wcs import WCS
+
+        base = {
+            'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN',
+            'CRPIX1': 5, 'CRPIX2': 5, 'CRVAL1': 10.0, 'CRVAL2': 20.0,
+            'CDELT1': -0.001, 'CDELT2': 0.001,
+        }
+        plain = WCS(fits.Header(base))
+        sip = WCS(fits.Header({
+            **base, 'CTYPE1': 'RA---TAN-SIP', 'CTYPE2': 'DEC--TAN-SIP',
+            'A_ORDER': 2, 'B_ORDER': 2, 'A_2_0': 0.0, 'B_0_2': 0.0,
+        }))
+        assert sip.has_distortion
+        np.testing.assert_allclose(
+            sip.pixel_to_world_values(2.0, 7.0),
+            plain.pixel_to_world_values(2.0, 7.0),
+        )
+        assert sip.world_axis_physical_types == [
+            'pos.eq.ra', 'pos.eq.dec'
+        ]
+
+    def test_cunit_not_degrees_reported(self):
+        from planetmapper_tpu.io.wcs import WCS
+
+        w = WCS(fits.Header({
+            'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN',
+            'CRPIX1': 1, 'CRPIX2': 1, 'CRVAL1': 0.0, 'CRVAL2': 0.0,
+            'CUNIT1': 'arcsec', 'CUNIT2': 'arcsec',
+        }))
+        # observation.disc_from_wcs guards on this being 'deg'; a
+        # hardcoded value would navigate 3600x off silently
+        assert w.world_axis_units == ['arcsec', 'arcsec']
+
+    def test_pole_centred_lonpole_default(self):
+        # CRVAL2=90: the FITS default LONPOLE is 0, not 180 (Calabretta
+        # & Greisen 2002); a pixel due +y of the pole reference point
+        # must land at the native phi=180 meridian -> RA = CRVAL1 + 180
+        from planetmapper_tpu.io.wcs import WCS
+
+        w = WCS(fits.Header({
+            'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN',
+            'CRPIX1': 1, 'CRPIX2': 1, 'CRVAL1': 30.0, 'CRVAL2': 90.0,
+            'CDELT1': 0.001, 'CDELT2': 0.001,
+        }))
+        ra, dec = w.pixel_to_world_values(0.0, 10.0)
+        assert dec == pytest.approx(90.0 - 0.01, abs=1e-6)
+        # alpha = alpha0 + (phi - phi_p) - 180 at the pole; phi(+y) = 180
+        # and the default phi_p = 0 here, so RA = CRVAL1 (the old
+        # hardcoded phi_p = 180 put it at CRVAL1 + 180)
+        assert ra == pytest.approx(30.0, abs=1e-6)
+        # explicit LONPOLE rotates the native frame
+        w2 = WCS(fits.Header({
+            'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN',
+            'CRPIX1': 1, 'CRPIX2': 1, 'CRVAL1': 30.0, 'CRVAL2': 90.0,
+            'CDELT1': 0.001, 'CDELT2': 0.001, 'LONPOLE': 90.0,
+        }))
+        ra2, _ = w2.pixel_to_world_values(0.0, 10.0)
+        assert (ra2 - (ra - 90.0)) % 360.0 == pytest.approx(
+            0.0, abs=1e-6
+        )
+        # roundtrip consistency under both conventions
+        for wcs in (w, w2):
+            x, y = wcs.world_to_pixel_values(
+                *wcs.pixel_to_world_values(3.0, 4.0)
+            )
+            assert (x, y) == (pytest.approx(3.0, abs=1e-6),
+                              pytest.approx(4.0, abs=1e-6))
+
+    def test_swapped_axis_order(self):
+        # DEC on axis 1 / RA on axis 2: values are returned in AXIS
+        # order (astropy semantics) and the roundtrip is consistent
+        from planetmapper_tpu.io.wcs import WCS
+
+        w = WCS(fits.Header({
+            'CTYPE1': 'DEC--TAN', 'CTYPE2': 'RA---TAN',
+            'CRPIX1': 1, 'CRPIX2': 1, 'CRVAL1': 20.0, 'CRVAL2': 10.0,
+            'CDELT1': 0.001, 'CDELT2': 0.001,
+        }))
+        assert w.world_axis_physical_types == [
+            'pos.eq.dec', 'pos.eq.ra'
+        ]
+        dec, ra = w.pixel_to_world_values(0.0, 0.0)
+        assert dec == pytest.approx(20.0, abs=1e-9)
+        assert ra == pytest.approx(10.0, abs=1e-9)
+        d2, r2 = w.pixel_to_world_values(0.0, 5.0)
+        # +y is the RA-like axis here: dec stays (nearly) put
+        assert abs(r2 - 10.0) > 1e-4
+        x, y = w.world_to_pixel_values(d2, r2)
+        assert (x, y) == (pytest.approx(0.0, abs=1e-6),
+                          pytest.approx(5.0, abs=1e-6))
 
