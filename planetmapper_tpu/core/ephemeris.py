@@ -142,10 +142,19 @@ class Ephemeris:
         elif isinstance(data, TleData):
             state = self._tle_state(data, et)
         elif isinstance(data, LagrangeData):
-            pos_fn = lambda t: lagrange_state(data, t)
-            et_arr = jnp.asarray(et, dtype=jnp.float64)
-            pos, vel = jax.jvp(pos_fn, (et_arr,), (jnp.ones_like(et_arr),))
-            state = jnp.concatenate([pos, vel], axis=-1)
+            if data.hermite:
+                # type 13: velocity is the Hermite interpolant's exact
+                # derivative (spke13 semantics)
+                pos_fn = lambda t: lagrange_state(data, t)
+                et_arr = jnp.asarray(et, dtype=jnp.float64)
+                pos, vel = jax.jvp(
+                    pos_fn, (et_arr,), (jnp.ones_like(et_arr),)
+                )
+                state = jnp.concatenate([pos, vel], axis=-1)
+            else:
+                # type 9: the segment's stored velocity knots are
+                # Lagrange-interpolated directly (spke09 semantics)
+                state = lagrange_state(data, et)
         elif isinstance(data, TwoBodyData):
             state = self._two_body_state(data, et)
         else:

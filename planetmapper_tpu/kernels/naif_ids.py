@@ -98,10 +98,25 @@ _SPACECRAFT = {
 NAME_TO_ID: dict[str, int] = {**_BARYCENTERS, **_PLANETS, **_SATELLITES, **_SPACECRAFT}
 
 # Preferred name for each ID (the name returned by ``bodc2s``): first
-# occurrence wins for aliases, matching NAIF's canonical-name ordering above.
+# occurrence wins for aliases (e.g. 'HST', matching CSPICE), except the
+# barycenters, whose CSPICE canonical names are the space-separated
+# forms rather than this table's underscore-first ordering (CSPICE's
+# canonical name is the last zzidmap mapping per body).
 ID_TO_NAME: dict[int, str] = {}
 for _name, _code in NAME_TO_ID.items():
     ID_TO_NAME.setdefault(_code, _name)
+ID_TO_NAME.update({
+    0: 'SOLAR SYSTEM BARYCENTER',
+    1: 'MERCURY BARYCENTER',
+    2: 'VENUS BARYCENTER',
+    3: 'EARTH BARYCENTER',
+    4: 'MARS BARYCENTER',
+    5: 'JUPITER BARYCENTER',
+    6: 'SATURN BARYCENTER',
+    7: 'URANUS BARYCENTER',
+    8: 'NEPTUNE BARYCENTER',
+    9: 'PLUTO BARYCENTER',
+})
 
 
 class BodyNotFoundError(Exception):

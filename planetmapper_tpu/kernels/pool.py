@@ -19,7 +19,7 @@ from typing import Collection
 import numpy as np
 
 from . import naif_ids
-from .spk import SpkSegment, parse_spk_file
+from .spk import SpkError, SpkSegment, parse_spk_file
 from .textkernel import TextKernelPool, load_text_kernel
 
 DEFAULT_KERNEL_PATH = '~/spice_kernels/'
@@ -58,6 +58,15 @@ class KernelPool:
                 magic = f.read(8)
             if magic.startswith(b'DAF/SPK') or magic.startswith(b'NAIF/DAF'):
                 self.spk_segments.extend(parse_spk_file(path))
+            elif magic.startswith((b'DAF/', b'DAS/', b'NAIF/DAS')):
+                # a binary kernel of an unsupported architecture (binary
+                # PCK, CK, DSK...): parsing it as text would silently
+                # load nothing while reporting success
+                raise SpkError(
+                    f'Cannot load binary kernel {path!r} (magic '
+                    f'{magic.decode("ascii", "replace").strip()!r}): only '
+                    'SPK binaries and text kernels are supported'
+                )
             else:
                 load_text_kernel(path, self.text)
         self.loaded_files.append(path)

@@ -235,15 +235,18 @@ def sgp4_init_packets(constants: np.ndarray, packets: np.ndarray) -> dict:
                 mdot, argpdot, nodedot,
             )
         )
-        # Static bound for the 720-minute resonance integrator: nearest
-        # element-set selection keeps |t - epoch| within half the largest
+        # Static bound for the 720-minute resonance integrator. The
+        # evaluator blends the BRACKETING element sets (not the nearest),
+        # so the far packet sees |t - epoch| up to the FULL largest
         # inter-set gap; allow a generous margin for use beyond the ends.
         gaps_min = (
             np.diff(np.sort(epoch)) / 60.0 if len(epoch) > 1
             else np.array([0.0])
         )
-        reach = float(np.max(gaps_min, initial=0.0)) / 2.0 + 40320.0
-        params['_ds_max_steps'] = int(min(512, max(8, math.ceil(reach / 720.0))))
+        reach = float(np.max(gaps_min, initial=0.0)) + 40320.0
+        params['_ds_max_steps'] = int(
+            min(1024, max(8, math.ceil(reach / 720.0)))
+        )
     return params
 
 

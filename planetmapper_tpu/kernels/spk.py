@@ -96,7 +96,7 @@ class TwoBodyData:
 class LagrangeData:
     """Payload of type 9 (Lagrange) / 13 (Hermite) segments."""
 
-    degree: int
+    group: int  # number of knot points per interpolation window
     hermite: bool
     epochs: np.ndarray  # (n,)
     states: np.ndarray  # (n, 6)
@@ -147,18 +147,17 @@ def _parse_type_5(words: np.ndarray) -> TwoBodyData:
 
 def _parse_type_9_13(words: np.ndarray, data_type: int) -> LagrangeData:
     n = int(words[-1])
-    subtype_or_degree = int(words[-2])
-    if data_type == 9:
-        degree = subtype_or_degree
-        hermite = False
-        states = words[: 6 * n].reshape(n, 6).copy()
-        epochs = words[6 * n : 7 * n].copy()
-    else:  # type 13: Hermite; window size parameter
-        degree = subtype_or_degree
-        hermite = True
-        states = words[: 6 * n].reshape(n, 6).copy()
-        epochs = words[6 * n : 7 * n].copy()
-    return LagrangeData(degree, hermite, epochs, states)
+    trailer = int(words[-2])
+    # The penultimate trailer word differs between the types: type 9
+    # stores the polynomial DEGREE (window = degree + 1 points), type 13
+    # stores the Hermite WINDOW SIZE directly (spkw13 converts its odd
+    # degree argument d to (d + 1) / 2 points before writing; the
+    # resulting Hermite polynomial has degree 2 * window - 1).
+    hermite = data_type == 13
+    group = trailer if hermite else trailer + 1
+    states = words[: 6 * n].reshape(n, 6).copy()
+    epochs = words[6 * n : 7 * n].copy()
+    return LagrangeData(group, hermite, epochs, states)
 
 
 _NMETA = 17
@@ -229,7 +228,7 @@ def _jnp():
     return jnp
 
 
-def chebyshev_state(data: ChebyshevData, t, ncomp_out: int = 6):
+def chebyshev_state(data: ChebyshevData, t):
     """
     Evaluate a type 2/3 Chebyshev segment at (scalar or batched) time ``t``.
     Returns a (..., 6) state [km, km/s]. Pure JAX: record index is computed
@@ -276,14 +275,12 @@ def equinoctial_position(data: EquinoctialData, t):
     t = jnp.asarray(t, dtype=jnp.float64)
     dt = t - data.epoch
 
-    # Precess eccentricity vector (h, k) and node (p, q)
-    can = data.periapse_rate * dt - data.node_rate * dt  # arg periapse change
-    # Longitude of periapse precesses at periapse_rate; node at node_rate.
-    # (h, k) encode e and longitude of periapse directly:
+    # Precess eccentricity vector (h, k) and node (p, q): longitude of
+    # periapse precesses at periapse_rate, the node at node_rate, and
+    # (h, k) encode e and longitude of periapse directly
     prec = data.periapse_rate * dt
     h = data.h * jnp.cos(prec) + data.k * jnp.sin(prec)
     k = data.k * jnp.cos(prec) - data.h * jnp.sin(prec)
-    del can
     nprec = data.node_rate * dt
     p = data.p * jnp.cos(nprec) + data.q * jnp.sin(nprec)
     q = data.q * jnp.cos(nprec) - data.p * jnp.sin(nprec)
@@ -335,14 +332,18 @@ def lagrange_state(data: LagrangeData, t):
     Evaluate a type 9 (Lagrange) or type 13 (Hermite) segment at time ``t``.
     Uses a fixed-size interpolation window gathered around the bracketing
     epoch, so the computation is jit/vmap friendly.
+
+    Returns the full ``(..., 6)`` state for type 9 (velocity knots are
+    interpolated directly, matching spke09) and the ``(..., 3)``
+    position for type 13 (whose velocity is the Hermite interpolant's
+    exact derivative - the caller differentiates via ``jax.jvp``).
     """
     jnp = _jnp()
     t = jnp.asarray(t, dtype=jnp.float64)
     epochs = jnp.asarray(data.epochs)
     states = jnp.asarray(data.states)
     n = data.epochs.shape[0]
-    group = data.degree + 1 if not data.hermite else (data.degree + 1) // 2
-    group = max(2, min(group, n))
+    group = max(2, min(data.group, n))
     i1 = jnp.searchsorted(epochs, t)
     first = jnp.clip(i1 - (group + 1) // 2, 0, n - group)
     offsets = jnp.arange(group)
@@ -351,7 +352,10 @@ def lagrange_state(data: LagrangeData, t):
     ss = states[idx]  # (..., group, 6)
 
     if not data.hermite:
-        # Lagrange interpolation of the full state
+        # Lagrange interpolation of the FULL state: CSPICE spke09
+        # interpolates the stored velocity knots directly (the
+        # derivative of the position interpolant is a different,
+        # generally worse, estimate), so type 9 returns (..., 6)
         result = 0.0
         for j in range(group):
             lj = jnp.ones_like(t)
@@ -360,7 +364,7 @@ def lagrange_state(data: LagrangeData, t):
                     continue
                 lj = lj * (t - ts[..., m]) / (ts[..., j] - ts[..., m])
             result = result + lj[..., None] * ss[..., j, :]
-        return result[..., :3]
+        return result
     else:
         # Hermite interpolation of position using position+velocity knots;
         # realised by divided differences on doubled nodes.

@@ -70,8 +70,10 @@ def _parse_value(token: str) -> TextKernelValue:
         raise ValueError('Empty token in text kernel')
     if token.startswith('@'):
         return _parse_at_date(token)
-    if token.startswith("'"):
-        return token.strip("'")
+    if token.startswith("'") and token.endswith("'") and len(token) >= 2:
+        # strip exactly the surrounding quotes and un-escape SPICE's
+        # doubled single quotes ('IT''S' -> IT'S)
+        return token[1:-1].replace("''", "'")
     t = token.upper().replace('D', 'E')
     try:
         f = float(t)
@@ -80,7 +82,8 @@ def _parse_value(token: str) -> TextKernelValue:
     return f
 
 
-_TOKEN_RE = re.compile(r"'[^']*'|[^\s,()]+")
+# quoted strings may contain doubled-quote escapes: consume pairs greedily
+_TOKEN_RE = re.compile(r"'(?:[^']|'')*'|[^\s,()]+")
 
 
 def _tokenise_values(value_text: str) -> list[TextKernelValue]:
@@ -88,6 +91,8 @@ def _tokenise_values(value_text: str) -> list[TextKernelValue]:
 
 
 _ASSIGNMENT_RE = re.compile(r'^\s*([\w/.\-]+)\s*(\+?=)\s*(.*)$', re.DOTALL)
+_ASSIGNMENT_START_RE = re.compile(r'^\s*[\w/.\-]+\s*\+?=')
+_QUOTED_RE = re.compile(r"'(?:[^']|'')*'")
 
 
 def parse_text_kernel(text: str, pool: TextKernelPool | None = None) -> TextKernelPool:
@@ -112,21 +117,25 @@ def parse_text_kernel(text: str, pool: TextKernelPool | None = None) -> TextKern
         if in_data and line:
             data_lines.append(line)
 
-    # Join continuation lines: an assignment may span multiple lines until its
-    # parentheses balance.
+    # Join continuation lines: an assignment may span multiple lines (the
+    # value may even START on the line after the '='), so a statement
+    # ends only where the NEXT assignment begins at paren depth 0.
+    # Parentheses inside quoted strings don't affect the depth.
+    def paren_depth(s: str) -> int:
+        return (
+            _QUOTED_RE.sub('', s).count('(')
+            - _QUOTED_RE.sub('', s).count(')')
+        )
+
     statements: list[str] = []
     buffer = ''
     depth = 0
     for line in data_lines:
-        if buffer:
-            buffer += ' ' + line
-        else:
-            buffer = line
-        depth = buffer.count('(') - buffer.count(')')
-        if depth <= 0 and ('=' in buffer):
+        if buffer and depth <= 0 and _ASSIGNMENT_START_RE.match(line):
             statements.append(buffer)
             buffer = ''
-            depth = 0
+        buffer = f'{buffer} {line}'.strip() if buffer else line
+        depth = paren_depth(buffer)
     if buffer.strip():
         statements.append(buffer)
 

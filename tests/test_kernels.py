@@ -96,6 +96,118 @@ class TestNaifIds:
         with pytest.raises(naif_ids.BodyNotFoundError):
             naif_ids.bods2c('<<< test >>>')
 
+    def test_canonical_names_space_separated(self):
+        # CSPICE bodc2s returns space-separated canonical names, not the
+        # underscore aliases or short abbreviations
+        assert naif_ids.bodc2s(0) == 'SOLAR SYSTEM BARYCENTER'
+        assert naif_ids.bodc2s(3) == 'EARTH BARYCENTER'
+        assert naif_ids.bodc2s(5) == 'JUPITER BARYCENTER'
+        # but short first-listed aliases stay canonical where CSPICE's
+        # are ('HST' - the reference's own reprs depend on this)
+        assert naif_ids.bodc2s(-48) == 'HST'
+
+
+class TestLagrangeSegments:
+    """SPK types 9/13 evaluated on synthetic exactly-representable data."""
+
+    @staticmethod
+    def _cubic_states(epochs):
+        # position components are cubics of t; velocities their exact
+        # derivatives (so degree-3 interpolation is exact)
+        t = np.asarray(epochs, dtype=float)
+        pos = np.stack(
+            [t**3 - t, 2.0 * t**2 + 3.0, 0.5 * t**3 + t**2], axis=-1
+        )
+        vel = np.stack(
+            [3.0 * t**2 - 1.0, 4.0 * t, 1.5 * t**2 + 2.0 * t], axis=-1
+        )
+        return np.concatenate([pos, vel], axis=-1)
+
+    def test_type_9_interpolates_velocity_knots(self):
+        from planetmapper_tpu.kernels.spk import LagrangeData, lagrange_state
+
+        epochs = np.linspace(0.0, 10.0, 11)
+        data = LagrangeData(
+            group=4, hermite=False, epochs=epochs,
+            states=self._cubic_states(epochs),
+        )
+        t = np.array([0.3, 4.75, 9.9])
+        out = np.asarray(lagrange_state(data, t))
+        assert out.shape == (3, 6)
+        np.testing.assert_allclose(out, self._cubic_states(t), atol=1e-9)
+
+    def test_type_13_hermite_window(self):
+        from planetmapper_tpu.kernels.spk import LagrangeData, lagrange_state
+
+        epochs = np.linspace(0.0, 10.0, 11)
+        data = LagrangeData(
+            group=2, hermite=True, epochs=epochs,
+            states=self._cubic_states(epochs),
+        )
+        # 2-point Hermite with exact derivatives reproduces cubics exactly
+        t = np.array([1.5, 7.25])
+        out = np.asarray(lagrange_state(data, t))
+        assert out.shape == (2, 3)
+        np.testing.assert_allclose(
+            out, self._cubic_states(t)[:, :3], atol=1e-9
+        )
+
+    def test_trailer_semantics(self):
+        # type 9 trailer = polynomial DEGREE (window = degree+1);
+        # type 13 trailer = Hermite WINDOW SIZE itself
+        from planetmapper_tpu.kernels.spk import _parse_type_9_13
+
+        n = 6
+        epochs = np.linspace(0.0, 5.0, n)
+        states = self._cubic_states(epochs)
+        words9 = np.concatenate(
+            [states.ravel(), epochs, [3.0, float(n)]]
+        )
+        d9 = _parse_type_9_13(words9, 9)
+        assert d9.group == 4 and not d9.hermite
+        words13 = np.concatenate(
+            [states.ravel(), epochs, [4.0, float(n)]]
+        )
+        d13 = _parse_type_9_13(words13, 13)
+        assert d13.group == 4 and d13.hermite
+
+
+class TestTextKernelGrammar:
+    def test_value_on_next_line(self):
+        from planetmapper_tpu.kernels.textkernel import parse_text_kernel
+
+        pool = parse_text_kernel(
+            '\\begindata\n'
+            'SCALAR =\n'
+            '   3.0\n'
+            'VEC =\n'
+            '   ( 1.0 2.0\n'
+            '     3.0 )\n'
+            'AFTER = 7.0\n'
+        )
+        assert pool['SCALAR'] == [3.0]
+        assert pool['VEC'] == [1.0, 2.0, 3.0]
+        assert pool['AFTER'] == [7.0]
+
+    def test_quote_escapes(self):
+        from planetmapper_tpu.kernels.textkernel import parse_text_kernel
+
+        pool = parse_text_kernel(
+            "\\begindata\nNAME = ( 'IT''S' 'PLAIN' )\n"
+        )
+        assert pool['NAME'] == ["IT'S", 'PLAIN']
+
+    def test_binary_non_spk_rejected(self, tmp_path):
+        from planetmapper_tpu.kernels import pool as pool_mod
+        from planetmapper_tpu.kernels.spk import SpkError
+
+        path = tmp_path / 'earth.bpc'
+        path.write_bytes(b'DAF/PCK ' + b'\x00' * 100)
+        kp = pool_mod.KernelPool()
+        with pytest.raises(SpkError, match='DAF/PCK'):
+            kp.furnsh(str(path))
+        assert str(path) not in kp.loaded_files
+
 
 class TestPck:
     def test_jupiter_radii(self, pool):
