@@ -63,7 +63,7 @@ def _mollweide_theta(phi):
         for _ in range(10):
             f = 2.0 * theta + np.sin(2.0 * theta) - target
             df = 2.0 + 2.0 * np.cos(2.0 * theta)
-            step = np.where(np.abs(df) > 1e-12, f / np.where(df != 0, df, 1.0), 0.0)
+            step = np.where(np.abs(df) > 1e-12, f / df, 0.0)
             theta = theta - step
     # poles: the iteration is singular exactly at phi = +-pi/2
     theta = np.where(
@@ -93,7 +93,10 @@ class ProjectionTransformer:
     def transform(self, x, y, direction: str = 'FORWARD'):
         x = np.asarray(x, dtype=float)
         y = np.asarray(y, dtype=float)
-        if str(direction).upper().startswith('I'):
+        # accept pyproj.enums.TransformDirection too (its str() is
+        # 'TransformDirection.INVERSE', so use .name when present)
+        name = getattr(direction, 'name', None) or str(direction)
+        if name.upper().startswith('I'):
             return self._inverse(x, y)
         return self._forward(x, y)
 
@@ -129,9 +132,17 @@ class ProjectionTransformer:
     # -- forward -----------------------------------------------------------
     def _forward(self, lon, lat):
         if self.kind in ('lonlat', 'rectangular', 'manual'):
+            if self.west_positive:
+                # PROJ's +axis=wnu axisswap negates the first axis even
+                # for the identity longlat "projection"
+                return -np.asarray(lon, dtype=float), lat
             return lon, lat
 
         lam = np.radians(lon - self.lon_0)
+        # PROJ wraps input longitudes into lon_0 +/- 180 (adjlon) before
+        # projecting; without this, cylindrical forwards put lon 270 at
+        # x ~ 3/2 pi a instead of -pi/2 a and round trips fail
+        lam = lam - 2.0 * np.pi * np.round(lam / (2.0 * np.pi))
         phi = np.radians(lat)
 
         if self.kind == 'ortho':
@@ -146,7 +157,12 @@ class ProjectionTransformer:
             yy = nu * (sp * cp0 - cp * sp0 * np.cos(lam)) + e2 * (
                 nu0 * sp0 - nu * sp
             ) * cp0
-            out_x = x * self.a / self.to_meter
+            # PROJ refuses the far hemisphere (the parallel projection
+            # would fold it onto the visible disc)
+            far = sp0 * sp + cp0 * cp * np.cos(lam) < -1e-12
+            x = np.where(far, np.nan, x)
+            yy = np.where(far, np.nan, yy)
+            out_x = (x * self.a + self.x_0) / self.to_meter
             out_y = (yy * self.a + self.y_0) / self.to_meter
         elif self.kind in _AZIMUTHAL_KINDS:
             out_x, out_y = self._forward_azimuthal(lam, phi)
@@ -220,13 +236,15 @@ class ProjectionTransformer:
     # -- inverse -----------------------------------------------------------
     def _inverse(self, x, y):
         if self.kind in ('lonlat', 'rectangular', 'manual'):
+            if self.west_positive:
+                return -np.asarray(x, dtype=float), y
             return x, y
 
         if self.west_positive:
             x = -x
 
         if self.kind == 'ortho':
-            return self._inverse_ortho(x, y)
+            return self._inverse_ortho(x - self.x_0 / self.to_meter, y)
         if self.kind in _CYLINDRICAL_KINDS:
             return self._inverse_cylindrical(
                 x - self.x_0 / self.to_meter, y - self.y_0 / self.to_meter
@@ -285,6 +303,8 @@ class ProjectionTransformer:
             if self.kind == 'eqc':
                 lam = xn / cos_ts
                 phi = yn + math.radians(self.lat_0)
+                lam = np.where(np.abs(phi) > np.pi / 2 + 1e-9, np.nan, lam)
+                phi = np.where(np.isnan(lam), np.nan, phi)
             elif self.kind == 'merc':
                 lam = xn / cos_ts
                 phi = 2.0 * np.arctan(np.exp(yn / cos_ts)) - np.pi / 2.0
@@ -300,6 +320,9 @@ class ProjectionTransformer:
                 lam = np.where(
                     np.abs(phi) <= np.pi / 2, xn / np.cos(phi), np.nan
                 )
+                # both coordinates go invalid together (a half-NaN pair
+                # would feed a finite out-of-range latitude downstream)
+                phi = np.where(np.isnan(lam), np.nan, phi)
             elif self.kind == 'moll':
                 sq2 = math.sqrt(2.0)
                 theta = np.arcsin(np.clip(yn / sq2, -1.0, 1.0))
@@ -414,12 +437,42 @@ def transformer_from_proj_string(projection: str) -> ProjectionTransformer:
 
     def fget(key, default):
         try:
-            return float(params[key])
+            raw = params[key]
         except KeyError:
             return default
+        try:
+            return float(raw)
+        except ValueError as exc:
+            raise ProjStringError(
+                f'Cannot parse +{key}={raw!r} in projection string '
+                f'{projection!r}'
+            ) from exc
 
     a = fget('a', 1.0)
     b = fget('b', a)
+    # The native implementations are the SPHERICAL PROJ forms (plus the
+    # exact ellipsoidal orthographic). PROJ computes genuinely
+    # ellipsoidal formulas for these kinds when b != a (or a scale
+    # factor is given), so silently using the sphere would diverge from
+    # the reference by degree-scale latitudes - refuse and point at the
+    # pyproj fallback instead. (moll/mill/eqc/gnom are spherical-only in
+    # PROJ itself, so b is legitimately ignored for them.)
+    k0 = fget('k_0', fget('k', 1.0))
+    if (
+        (kind in ('merc', 'cea', 'stere', 'laea', 'aeqd', 'sinu')
+         and not math.isclose(b, a))
+        or not math.isclose(k0, 1.0)
+    ):
+        transformer = _maybe_pyproj_transformer(projection)
+        if transformer is not None:
+            return transformer
+        raise NotImplementedError(
+            f'Projection string {projection!r} requests ellipsoidal/'
+            f'scaled {name!r}, which the native (spherical) '
+            'implementation does not support. Install pyproj, or drop '
+            'the +b/+k parameters (e.g. create_proj_string(..., b=None) '
+            'for the spherical form).'
+        )
     return ProjectionTransformer(
         kind=kind,
         a=a,

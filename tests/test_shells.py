@@ -616,6 +616,106 @@ class TestProjections:
 
 
 
+    def test_cylindrical_longitude_wrap(self):
+        # PROJ wraps input longitudes into lon_0 +/- 180 (adjlon): lon
+        # 270 must project onto the negative-x half and round-trip
+        from planetmapper_tpu.ops import projections as P
+
+        for kind in ('merc', 'eqc', 'cea', 'mill', 'sinu', 'moll'):
+            t = P.ProjectionTransformer(kind=kind, a=1.0)
+            x, _ = t.transform(270.0, 10.0)
+            x_neg, _ = t.transform(-90.0, 10.0)
+            assert x == pytest.approx(x_neg), kind
+            lon2, lat2 = t.transform(*t.transform(270.0, 10.0),
+                                     direction='INVERSE')
+            assert lon2 % 360.0 == pytest.approx(270.0, abs=1e-9), kind
+            assert lat2 == pytest.approx(10.0, abs=1e-9), kind
+
+    def test_ortho_far_hemisphere_masked(self):
+        # PROJ refuses points behind the limb; the parallel projection
+        # would otherwise fold them onto the visible disc (drawing
+        # far-side gridlines and both pole labels on wireframes)
+        from planetmapper_tpu.ops import projections as P
+
+        t = P.ProjectionTransformer(kind='ortho', a=1.0, b=0.9, lat_0=30.0)
+        x, y = t.transform(180.0, -30.0)  # antipode of the centre
+        assert np.isnan(x) and np.isnan(y)
+        x, y = t.transform(0.0, -90.0)  # far pole
+        assert np.isnan(x) and np.isnan(y)
+        x, y = t.transform(0.0, 30.0)  # centre
+        assert x == pytest.approx(0.0) and np.isfinite(y)
+
+    def test_ortho_false_easting(self):
+        from planetmapper_tpu.ops import projections as P
+
+        t = P.ProjectionTransformer(kind='ortho', a=1.0, b=1.0, x_0=5.0)
+        x, _ = t.transform(0.0, 0.0)
+        assert x == pytest.approx(5.0)
+        lon2, lat2 = t.transform(5.0, 0.0, direction='INVERSE')
+        assert lon2 == pytest.approx(0.0, abs=1e-9)
+        assert lat2 == pytest.approx(0.0, abs=1e-9)
+
+    def test_inverse_out_of_range_nans_both(self):
+        from planetmapper_tpu.ops import projections as P
+
+        t = P.ProjectionTransformer(kind='eqc', a=1.0)
+        lon, lat = t.transform(0.0, 2.0, direction='INVERSE')
+        assert np.isnan(lon) and np.isnan(lat)
+        t = P.ProjectionTransformer(kind='sinu', a=1.0)
+        lon, lat = t.transform(0.5, 1.9, direction='INVERSE')
+        assert np.isnan(lon) and np.isnan(lat)
+
+    def test_lonlat_west_positive(self):
+        from planetmapper_tpu.ops.projections import (
+            transformer_from_proj_string,
+        )
+
+        t = transformer_from_proj_string(
+            '+proj=longlat +axis=wnu +type=crs'
+        )
+        x, y = t.transform(10.0, 5.0)
+        assert (x, y) == (-10.0, 5.0)
+        lon, lat = t.transform(x, y, direction='INVERSE')
+        assert (lon, lat) == (10.0, 5.0)
+
+    def test_direction_enum_like(self):
+        from planetmapper_tpu.ops import projections as P
+
+        class FakeDirection:
+            name = 'INVERSE'
+
+            def __str__(self):
+                return 'TransformDirection.INVERSE'
+
+        t = P.ProjectionTransformer(kind='eqc', a=1.0)
+        lon, lat = t.transform(0.5, 0.25, direction=FakeDirection())
+        assert lat == pytest.approx(np.degrees(0.25))
+
+    def test_ellipsoidal_params_rejected_without_pyproj(self):
+        from planetmapper_tpu.ops.projections import (
+            ProjStringError,
+            transformer_from_proj_string,
+        )
+
+        try:
+            import pyproj  # noqa: F401
+            pytest.skip('pyproj installed: falls back instead')
+        except ImportError:
+            pass
+        # PROJ computes ellipsoidal Mercator for +b != +a: silently
+        # using the sphere would be degree-scale wrong
+        with pytest.raises(NotImplementedError, match='pyproj'):
+            transformer_from_proj_string(
+                '+proj=merc +a=71492 +b=66854 +type=crs'
+            )
+        # but spherical-only PROJ kinds legitimately ignore +b
+        t = transformer_from_proj_string(
+            '+proj=moll +a=71492 +b=66854 +type=crs'
+        )
+        assert t.kind == 'moll'
+        with pytest.raises(ProjStringError, match='6378km'):
+            transformer_from_proj_string('+proj=merc +a=6378km +type=crs')
+
     def test_mollweide_near_pole(self):
         from planetmapper_tpu.ops import projections as P
 
