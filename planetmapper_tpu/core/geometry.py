@@ -99,15 +99,34 @@ def rect_to_geodetic(v, re, f):
     z_s = b2 * az / (t + b2)
     # Geodetic latitude from the surface normal at the nearest point
     lat = jnp.arctan2(z_s / b2, rho_s / a2)
+    dist = jnp.hypot(rho - rho_s, az - z_s)
+
+    # Equatorial-plane points inside the evolute (rho < a e^2, z ~ 0):
+    # the parameter equation degenerates (its root lies below -b^2, so
+    # the bisection bracket excludes it and Newton diverges), but the
+    # nearest point is closed-form: the ellipse parameter beta satisfies
+    # cos(beta) = rho / (a e^2), with two symmetric off-equator solutions
+    evolute_rho = (a2 - b2) / a
+    deg_eq = (az <= 1e-12 * b) & (rho < evolute_rho)
+    cosb = jnp.clip(
+        rho / jnp.where(evolute_rho > 0.0, evolute_rho, 1.0), 0.0, 1.0
+    )
+    sinb = jnp.sqrt(1.0 - cosb * cosb)
+    rho_sd = a * cosb
+    z_sd = b * sinb
+    lat = jnp.where(
+        deg_eq, jnp.arctan2(z_sd / b2, rho_sd / a2), lat
+    )
+    dist = jnp.where(deg_eq, jnp.hypot(rho - rho_sd, z_sd), dist)
+
     # Degenerate axis case (rho == 0): the nearest point is the pole
     on_axis = rho == 0.0
     lat = jnp.where(on_axis, jnp.pi / 2.0, lat)
     alt_axis = az - b
-    dist = jnp.hypot(rho - rho_s, az - z_s)
     inside = (rho / a) ** 2 + (az / b) ** 2 < 1.0
     alt = jnp.where(inside, -dist, dist)
     alt = jnp.where(on_axis, alt_axis, alt)
-    lat = lat * jnp.sign(jnp.where(z == 0.0, 1.0, jnp.sign(z)))
+    lat = jnp.where(z < 0.0, -lat, lat)
     return lon, lat, alt
 
 
@@ -196,7 +215,11 @@ def ray_ellipsoid_intercept(origin, direction, radii):
     cq = jnp.sum(q * q, axis=-1) - 1.0
     disc = -cq / a  # == (b^2 - a c)/a^2 = (sqrt_disc/a)^2
     found = disc >= 0.0
-    s = t_ca - jnp.sqrt(jnp.where(found, disc, 0.0))
+    sqrt_disc = jnp.sqrt(jnp.where(found, disc, 0.0))
+    s_near = t_ca - sqrt_disc
+    # smallest POSITIVE parameter: a ray starting inside the ellipsoid
+    # exits through the far root (surfpt semantics)
+    s = jnp.where(s_near >= 0.0, s_near, t_ca + sqrt_disc)
     found = found & (s >= 0.0)
     s = jnp.where(found, s, jnp.nan)
     return s, found
@@ -242,7 +265,7 @@ def plane_from_normal_point(normal, point):
     """
     n = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
     c = jnp.sum(n * point, axis=-1)
-    flip = jnp.sign(jnp.where(c < 0, -1.0, 1.0))
+    flip = jnp.where(c < 0, -1.0, 1.0)
     return n * flip[..., None], jnp.abs(c)
 
 
@@ -255,9 +278,16 @@ def ray_plane_intercept(origin, direction, plane_normal, plane_constant):
     """
     denom = jnp.sum(direction * plane_normal, axis=-1)
     num = plane_constant - jnp.sum(origin * plane_normal, axis=-1)
-    in_plane = (jnp.abs(denom) == 0.0) & (jnp.abs(num) == 0.0)
-    parallel = (jnp.abs(denom) == 0.0) & ~in_plane
-    s = num / jnp.where(denom != 0.0, denom, 1.0)
+    # Near-parallel rays (relative threshold, not exact zero): the
+    # nominal intersection distance is pure rounding noise at ~1e12 km
+    # scales, so treat edge-on geometry as parallel like CSPICE's
+    # degenerate-case handling rather than returning garbage points
+    dn = jnp.linalg.norm(direction, axis=-1)
+    degenerate = jnp.abs(denom) <= 1e-12 * dn
+    scale = jnp.abs(plane_constant) + jnp.linalg.norm(origin, axis=-1)
+    in_plane = degenerate & (jnp.abs(num) <= 1e-9 * scale)
+    parallel = degenerate & ~in_plane
+    s = num / jnp.where(jnp.abs(denom) > 0.0, denom, 1.0)
     ok = (~parallel) & (~in_plane) & (s >= 0.0)
     point = origin + s[..., None] * direction
     point = jnp.where(ok[..., None], point, jnp.nan)

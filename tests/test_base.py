@@ -144,3 +144,88 @@ class TestBasicBody:
             "BasicBody('JUPITER', '2005-01-01T00:00:00.000000', "
             "observer='HST')"
         )
+
+
+class TestGeometryEdgeCases:
+    """Degenerate-geometry contracts of the closed-form geometry core."""
+
+    def test_geodetic_inside_evolute_equatorial(self):
+        # Equatorial-plane points inside the evolute have their nearest
+        # surface point OFF the equator (two symmetric solutions); the
+        # parameter-equation bisection alone diverges here
+        import jax.numpy as jnp
+
+        from planetmapper_tpu.core import geometry as geom
+
+        lon, lat, alt = geom.rect_to_geodetic(
+            jnp.array([1.0, 0.0, 0.0]), 6378.137, 1 / 298.257
+        )
+        assert np.degrees(float(lat)) == pytest.approx(88.662, abs=1e-2)
+        assert float(alt) == pytest.approx(-6356.74, abs=0.01)
+        # sign follows z, continuously from the z != 0 neighbourhood
+        re, f = 125.0, 1 - 64 / 125
+        for z, sign in ((1e-11, 1), (-1e-11, -1), (0.0, 1)):
+            lon, lat, alt = geom.rect_to_geodetic(
+                jnp.array([73.0, 0.0, z]), re, f
+            )
+            assert np.degrees(float(lat)) == pytest.approx(
+                sign * 56.4544, abs=1e-3
+            )
+            assert float(alt) == pytest.approx(-46.9332, abs=1e-3)
+        # spheres never take the branch
+        lon, lat, alt = geom.rect_to_geodetic(
+            jnp.array([0.5, 0.0, 0.0]), 1.0, 0.0
+        )
+        assert float(lat) == 0.0 and float(alt) == pytest.approx(-0.5)
+
+    def test_ray_intercept_from_inside(self):
+        # smallest POSITIVE root: rays starting inside the ellipsoid
+        # exit through the far intersection (surfpt semantics)
+        import jax.numpy as jnp
+
+        from planetmapper_tpu.core import geometry as geom
+
+        radii = jnp.array([125.0, 73.0, 64.0])
+        s, found = geom.ray_ellipsoid_intercept(
+            jnp.zeros(3), jnp.array([1.0, 0.0, 0.0]), radii
+        )
+        assert bool(found) and float(s) == pytest.approx(125.0)
+        s, found = geom.ray_ellipsoid_intercept(
+            jnp.array([1000.0, 0.0, 0.0]), jnp.array([1.0, 0.0, 0.0]),
+            radii,
+        )
+        assert not bool(found)
+
+    def test_ray_plane_edge_on_is_parallel(self):
+        # near-edge-on rays would intersect at ~1e12+ km of pure rounding
+        # noise; they must classify as parallel (nxpts = 0), not return a
+        # garbage point
+        import jax.numpy as jnp
+
+        from planetmapper_tpu.core import geometry as geom
+
+        point, nxpts = geom.ray_plane_intercept(
+            jnp.array([0.0, 0.0, 1.0]),
+            jnp.array([1.0, 0.0, 1e-14]),
+            jnp.array([0.0, 0.0, 1.0]),
+            jnp.float64(0.0),
+        )
+        assert int(nxpts) == 0
+        assert np.isnan(np.asarray(point)).all()
+
+    def test_fastmath_domain_contracts(self):
+        import jax.numpy as jnp
+
+        from planetmapper_tpu.ops import fastmath as fm
+
+        assert np.isnan(float(fm.sqrt64(jnp.float64(np.nan))))
+        assert np.isnan(float(fm.rsqrt64(jnp.float64(-1.0))))
+        assert float(fm.sqrt64(jnp.float64(-1.0))) == 0.0
+        assert float(fm.sqrt64(jnp.float64(1e40))) > 0.0  # finite, positive
+        assert np.isfinite(float(fm.sqrt64(jnp.float64(1e40))))
+        assert np.isnan(
+            float(fm.norm3_64(jnp.array([1.0, np.nan, 2.0])))
+        )
+        assert float(fm.sqrt64(jnp.float64(4.0))) == pytest.approx(
+            2.0, rel=1e-14
+        )
