@@ -73,6 +73,15 @@ class SceneEngine:
         self.frame_model = frame_model
         self.abcorr = str(abcorr).strip().upper()
         self.corr = parse_abcorr(self.abcorr)
+        # Epoch retargeting sign: reception corrections evaluate the
+        # target at et - lt, transmission ('X*') at et + lt, geometric
+        # ('NONE') at et itself (light times are still computed and
+        # returned). Stellar aberration rotates by +v/c for reception
+        # (stelab) and -v/c for transmission (stlabx).
+        self._tau_scale = 0.0 if self.corr.geometric else (
+            1.0 if self.corr.reception else -1.0
+        )
+        self._stelab_vsign = 1.0 if self.corr.reception else -1.0
         self.et_ref = float(et_ref)
         self._jit_cache: dict[str, Callable] = {}
         self._scene_spec: list[tuple[str, tuple, int]] | None = None
@@ -136,12 +145,12 @@ class SceneEngine:
             n_iter = 0
         targ = None
         for _ in range(n_iter + 1):
-            targ = self._pos_t(et - lt)
+            targ = self._pos_t(et - self._tau_scale * lt)
             r = targ[..., :3] - obs_pos
             lt = jnp.linalg.norm(r, axis=-1) / CLIGHT
         pos = targ[..., :3] - obs_pos
         if self.corr.stellar:
-            pos = stelab(pos, obs_vel / CLIGHT)
+            pos = stelab(pos, self._stelab_vsign * obs_vel / CLIGHT)
         return pos, lt, obs_pos, obs_vel
 
     def _ray_to_geometric(self, d, obs_vel):
@@ -151,7 +160,7 @@ class SceneEngine:
         """
         if not self.corr.stellar:
             return d
-        return stelab(d, -obs_vel / CLIGHT)
+        return stelab(d, -self._stelab_vsign * obs_vel / CLIGHT)
 
     def _sincpt_core(self, et, radii, obsvec_norm, lt0):
         """
@@ -175,7 +184,7 @@ class SceneEngine:
         found = None
         s = None
         for _ in range(n_iter):
-            tau = et - lt
+            tau = et - self._tau_scale * lt
             targ_pos = self._pos_t(tau)[..., :3] - obs_pos
             o_bf = -self.frame_model.rotate_j2000_to_bodyfixed(tau, targ_pos)
             d_bf = self.frame_model.rotate_j2000_to_bodyfixed(
@@ -185,7 +194,7 @@ class SceneEngine:
             spoint = o_bf + s[..., None] * d_bf
             dist = jnp.where(found, s, lt0 * CLIGHT)
             lt = dist / CLIGHT
-        trgepc = et - lt
+        trgepc = et - self._tau_scale * lt
         spoint = jnp.where(found[..., None], spoint, jnp.nan)
         return spoint, trgepc, found
 
@@ -200,24 +209,26 @@ class SceneEngine:
         radii = jnp.asarray(radii)
         obs = self._pos_o(et)
         obs_pos = obs[..., :3]
-        n_iter = 4 if self.corr.converged else 1
+        # 'LT' needs TWO passes here: the first computes the point light
+        # time at tau = et (the loop seeds lt = 0), the second evaluates
+        # the geometry at the corrected epoch - one correction, matching
+        # CSPICE illumf 'LT'. (A single pass applied no correction.)
+        n_iter = 4 if self.corr.converged else 2
         if self.corr.geometric:
             n_iter = 1
 
-        # Light time observer -> surface point (reception)
+        # Light time observer -> surface point
         lt = jnp.zeros(targvec.shape[:-1], dtype=jnp.float64)
         srfvec_j2000 = None
         tau = None
         for _ in range(n_iter):
-            tau = et - lt
+            tau = et - self._tau_scale * lt
             targ_pos = self._pos_t(tau)[..., :3] - obs_pos
             point_j2000 = targ_pos + self.frame_model.rotate_bodyfixed_to_j2000(
                 tau, targvec
             )
             srfvec_j2000 = point_j2000
             lt = jnp.linalg.norm(point_j2000, axis=-1) / CLIGHT
-            if self.corr.geometric:
-                break
 
         srfvec_bf = self.frame_model.rotate_j2000_to_bodyfixed(
             tau, srfvec_j2000
@@ -231,7 +242,7 @@ class SceneEngine:
             lt_s = jnp.zeros(targvec.shape[:-1], dtype=jnp.float64)
             sun_dir_j2000 = None
             for _ in range(n_iter):
-                sun_pos = self._pos_s(tau - lt_s)[..., :3]
+                sun_pos = self._pos_s(tau - self._tau_scale * lt_s)[..., :3]
                 sun_dir_j2000 = sun_pos - point_ssb
                 lt_s = jnp.linalg.norm(sun_dir_j2000, axis=-1) / CLIGHT
             sun_dir_bf = self.frame_model.rotate_j2000_to_bodyfixed(
@@ -282,11 +293,11 @@ class SceneEngine:
 
         lt = jnp.zeros(targvec.shape[:-1], dtype=jnp.float64)
         for _ in range(n_iter):
-            tau = et - lt
+            tau = et - self._tau_scale * lt
             p_pos, p_vel = point_state_ssb(tau)
             rel = p_pos - obs_pos
             lt = jnp.linalg.norm(rel, axis=-1) / CLIGHT
-        tau = et - lt
+        tau = et - self._tau_scale * lt
         p_pos, p_vel = point_state_ssb(tau)
         rel = p_pos - obs_pos
         dist = jnp.linalg.norm(rel, axis=-1)
@@ -299,7 +310,9 @@ class SceneEngine:
             dltdt = (rv_t - rv_o) / (CLIGHT + rv_t)
             vel = p_vel * (1.0 - dltdt)[..., None] - obs_vel
         if self.corr.stellar:
-            rel = stelab(rel, obs_vel / CLIGHT)
+            # NOTE the returned velocity omits the (tiny, ~|a_obs| lt/c)
+            # derivative of the stellar correction itself
+            rel = stelab(rel, self._stelab_vsign * obs_vel / CLIGHT)
         return jnp.concatenate([rel, vel], axis=-1), dist / CLIGHT
 
     # ------------------------------------------------------------------
@@ -394,13 +407,15 @@ class SceneEngine:
         sub_targvec = None
         o_bf = None
         for _ in range(n_iter):
-            tau = et - lt
+            tau = et - self._tau_scale * lt
             targ_pos = self._pos_t(tau)[..., :3] - obs_pos
             if self.corr.stellar:
                 # subpnt works entirely in apparent geometry: the target is
                 # placed at its stellar-aberration-corrected position and
                 # the ray aims at that apparent centre.
-                targ_pos = stelab(targ_pos, obs_vel / CLIGHT)
+                targ_pos = stelab(
+                    targ_pos, self._stelab_vsign * obs_vel / CLIGHT
+                )
             d = targ_pos / jnp.linalg.norm(targ_pos, axis=-1, keepdims=True)
             rot = self.frame_model.j2000_to_bodyfixed_matrix(tau)
             o_bf = -jnp.einsum('...ij,...j->...i', rot, targ_pos)
@@ -408,7 +423,7 @@ class SceneEngine:
             s, _found = geom.ray_ellipsoid_intercept(o_bf, d_bf, radii)
             sub_targvec = o_bf + s[..., None] * d_bf
             lt = s / CLIGHT
-        sub_et = et - lt
+        sub_et = et - self._tau_scale * lt
         subpoint_rayvec = sub_targvec - o_bf  # observer -> subpoint, bf frame
         subpoint_distance = jnp.linalg.norm(subpoint_rayvec, axis=-1)
         m_sub = self.frame_model.bodyfixed_to_j2000_matrix(sub_et)
