@@ -94,14 +94,17 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
 
     from planetmapper_tpu.pipeline import compute_backplanes as _cb
 
-    # Blocked: one synchronous call per timing, completion proven by the
-    # scalar fetch (which also pays the transport round trip any
-    # synchronous caller pays - ~35 ms floor on this tunnel).
+    # Blocked: one synchronous call per timing. Completion is proven by
+    # fetching the checksum scalar the fused program computes from
+    # strided samples of every output plane - data-dependent like the
+    # separate reduce program, but without paying a second program
+    # dispatch through the tunnel.
     times = []
     for _ in range(n_runs):
         body.adjust_disc_params(dx=0.1)
         t0 = time.time()
-        out = run()
+        out, cs = _cb(body, as_numpy=False, with_checksum=True)
+        float(cs)
         times.append(time.time() - t0)
     blocked_best = min(times)
 
@@ -112,8 +115,8 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
     t0 = time.time()
     for _ in range(n_runs):
         body.adjust_disc_params(dx=0.1)
-        out = _cb(body, as_numpy=False)
-    sync(out)
+        out, cs = _cb(body, as_numpy=False, with_checksum=True)
+    float(cs)
     per_call = (time.time() - t0) / n_runs
 
     best = min(blocked_best, per_call)

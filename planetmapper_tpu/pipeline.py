@@ -926,7 +926,9 @@ def _mixed_impl_fn(
         azimuth32 = (
             jnp.float32(jnp.pi) - jnp.arctan2(saz, caz)
         ) * f32(1.0 / DEG)
-        if have_sun:
+        if have_sun and os.environ.get(
+            'PLANETMAPPER_TPU_AZ_REPAIR', '1'
+        ) != '0':
             si2 = fm.dot3(a_p, a_p)  # sin^2(incidence)
             se2 = fm.dot3(b_p, b_p)  # sin^2(emission)
             need_fix = found & ((si2 < f32(0.0225)) | (se2 < f32(0.0225)))
@@ -1151,7 +1153,7 @@ def _mixed_impl_fn(
 
 
 #: Row granularity of the conditional f64 azimuth repair within a band.
-_AZ_REPAIR_ROWS = 32
+_AZ_REPAIR_ROWS = int(os.environ.get('PLANETMAPPER_TPU_AZ_ROWS', '32'))
 
 
 def _azimuth_repair_f64(
@@ -1357,14 +1359,31 @@ def get_fused_pipeline(body, nx: int, ny: int):
             robust_geodetic=robust_geodetic,
         )
 
+        import jax.numpy as jnp
+
+        def _checksum(out):
+            # Data-dependent scalar over strided samples of every plane:
+            # fetching it proves the whole program (whose outputs are all
+            # materialised regardless) has completed, without the separate
+            # reduce-program dispatch a caller-side sync costs. See
+            # bench.py:_make_sync for why completion must be proven by a
+            # data fetch on proxied TPU transports.
+            return sum(
+                jnp.sum(jnp.nan_to_num(
+                    v[::128, ::128].astype(jnp.float32)
+                ))
+                for v in out.values()
+            )
+
         # Row-band tiling: mapping the per-pixel program over bands keeps
         # each band's intermediates resident in VMEM instead of spilling
         # ~50 full-frame f64 temporaries to HBM (measured ~2.2x at 2048^2).
         if not tiled:
             def wrapped(xy2angular, disc, radii, anchors):
-                return impl(nx_b, ny_b, xy2angular, disc, radii, anchors)
+                out = impl(nx_b, ny_b, xy2angular, disc, radii, anchors)
+                out['__CHECKSUM__'] = _checksum(out)
+                return out
         else:
-            import jax.numpy as jnp
             from jax import lax
 
             n_bands = ny_b // band_rows
@@ -1378,9 +1397,11 @@ def get_fused_pipeline(body, nx: int, ny: int):
                     )
 
                 outs = lax.map(band, jnp.arange(n_bands))
-                return {
+                out = {
                     k: v.reshape(ny_b, nx_b) for k, v in outs.items()
                 }
+                out['__CHECKSUM__'] = _checksum(out)
+                return out
 
         fn = jax.jit(wrapped)
         _PIPELINE_CACHE[key] = fn
@@ -1390,7 +1411,10 @@ def get_fused_pipeline(body, nx: int, ny: int):
 
     def sliced(xy2angular, disc, radii, anchors):
         out = fn(xy2angular, disc, radii, anchors)
-        return {k: v[:ny, :nx] for k, v in out.items()}
+        return {
+            k: (v if k == '__CHECKSUM__' else v[:ny, :nx])
+            for k, v in out.items()
+        }
 
     return sliced
 
@@ -1448,16 +1472,27 @@ def compute_backplanes_batch(
         np.asarray(body.radii, dtype=np.float64),
         anchors,
     )
+    out = dict(out)
+    out.pop('__CHECKSUM__', None)
     if as_numpy:
         return {k: np.asarray(v) for k, v in out.items()}
-    return dict(out)
+    return out
 
 
-def compute_backplanes(body, *, as_numpy: bool = True) -> dict[str, Any]:
+def compute_backplanes(
+    body, *, as_numpy: bool = True, with_checksum: bool = False
+):
     """
     Compute all default backplane images for a BodyXY in one fused device
     program. Returns a dict keyed by backplane name (same keys and value
     conventions as :attr:`BodyXY.backplanes` image getters).
+
+    With ``with_checksum=True`` returns ``(dict, checksum)`` where
+    ``checksum`` is a device scalar computed *inside* the fused program
+    from strided samples of every plane: fetching it (``float(checksum)``)
+    proves the whole set has finished executing without dispatching a
+    separate reduction program - the cheapest honest synchronisation for
+    a single blocking call on remote/tunneled TPU transports.
     """
     import jax
 
@@ -1477,6 +1512,11 @@ def compute_backplanes(body, *, as_numpy: bool = True) -> dict[str, Any]:
         np.asarray(body.radii, dtype=np.float64),
         anchors,
     )
+    checksum = out.pop('__CHECKSUM__')
     if as_numpy:
-        return {k: np.asarray(v) for k, v in out.items()}
-    return dict(out)
+        out = {k: np.asarray(v) for k, v in out.items()}
+    else:
+        out = dict(out)
+    if with_checksum:
+        return out, checksum
+    return out

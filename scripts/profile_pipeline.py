@@ -87,11 +87,18 @@ def main() -> None:
 
         fn = jax.jit(wrapped)
         float(fn(*args))  # warm + force
+        # Pipelined timing: dispatch N executions back-to-back and force
+        # only the last scalar, so the tunnel round trip (24-40 ms,
+        # variable) amortises to 1/N and the per-call figure approaches
+        # pure device execution time.
+        n = int(os.environ.get('PROF_REPS', '8'))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
+            for _ in range(n - 1):
+                fn(*args)
             float(fn(*args))
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0) / n)
         return min(times) * 1e3
 
     print(f'size={SIZE}  device={jax.devices()[0]}', flush=True)

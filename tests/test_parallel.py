@@ -44,7 +44,17 @@ class TestShardedBackplanes:
             a = np.asarray(sharded[name])
             b = np.asarray(fused[name])
             assert a.shape == b.shape, name
-            np.testing.assert_allclose(a, b, atol=1e-9, equal_nan=True)
+            # The illumination angles run in f32 (half-angle form, see
+            # pipeline.py); XLA reassociates f32 chains differently for
+            # the sharded row-block shapes, so those planes agree only to
+            # a few f32 ulps (~1e-5 deg) - well inside the pipeline's
+            # 5e-5 deg illumination budget. Everything else is f64-backed
+            # and matches to 1e-9.
+            atol = (
+                5e-5 if name in ('PHASE', 'INCIDENCE', 'EMISSION', 'AZIMUTH')
+                else 1e-9
+            )
+            np.testing.assert_allclose(a, b, atol=atol, equal_nan=True)
 
     def test_uneven_rows_padded(self):
         body = BodyXY('Jupiter', utc='2005-01-01', nx=10, ny=7)
@@ -131,8 +141,11 @@ class TestTimeSeries:
         )
         assert out['EMISSION'].shape == (3, 10, 12)
         fused = body.generate_backplanes_fused()
+        # EMISSION runs in f32 (see pipeline.py); the vmapped time-batch
+        # shapes reassociate the f32 chain differently, so agreement is a
+        # few f32 ulps (~1e-5 deg), inside the 5e-5 deg budget
         np.testing.assert_allclose(
-            out['EMISSION'][0], fused['EMISSION'], atol=1e-9, equal_nan=True
+            out['EMISSION'][0], fused['EMISSION'], atol=5e-5, equal_nan=True
         )
         # Jupiter rotates ~36.27 deg of W longitude per hour
         lon0, lon1 = out['LON-GRAPHIC'][0], out['LON-GRAPHIC'][1]
