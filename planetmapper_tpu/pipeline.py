@@ -586,16 +586,33 @@ def _mixed_impl_fn(
         angy_col = xy2angular[1, 0] * x1 + xy2angular[1, 2]
         angy_row = xy2angular[1, 1] * y1
         k_rad = DEG / 3600.0
-        a = (-k_rad * angx_row)[:, None] + (-k_rad * angx_col)[None, :]
-        b = (k_rad * angy_row)[:, None] + (k_rad * angy_col)[None, :]
-        # Small-angle series for the ray deviation from the boresight
-        # (|a|,|b| < ~0.05 rad for any plausible frame; error < 1e-17)
-        a2 = a * a
-        b2 = b * b
-        sa = a * (1.0 + a2 * (-1.0 / 6.0 + a2 * (1.0 / 120.0 - a2 / 5040.0)))
-        sb = b * (1.0 + b2 * (-1.0 / 6.0 + b2 * (1.0 / 120.0 - b2 / 5040.0)))
-        dca = a2 * (-0.5 + a2 * (1.0 / 24.0 - a2 / 720.0))  # cos(a) - 1
-        dcb = b2 * (-0.5 + b2 * (1.0 / 24.0 - b2 / 720.0))
+        # The ray angles are separable (a = row-term + col-term), so the
+        # f64 trig collapses to exact sin/cos on the four 1D vectors plus
+        # angle-addition per pixel: sin(ar+ac) = sr*cc + cr*sc etc. -
+        # ~10 emulated-f64 multiplies per pixel where the small-angle
+        # Horner series paid ~20, and exact for any field of view.
+        # cos(a)cos(b) - 1 is assembled cancellation-free from the 1D
+        # (cos - 1) deltas: each |dc| < ~1e-3, so the sum of four
+        # products below loses nothing to rounding.
+        ar = -k_rad * angx_row
+        ac = -k_rad * angx_col
+        br = k_rad * angy_row
+        bc = k_rad * angy_col
+        sar, car1 = jnp.sin(ar), jnp.cos(ar) - 1.0  # 1D: negligible
+        sac, cac1 = jnp.sin(ac), jnp.cos(ac) - 1.0
+        sbr, cbr1 = jnp.sin(br), jnp.cos(br) - 1.0
+        sbc, cbc1 = jnp.sin(bc), jnp.cos(bc) - 1.0
+        # sin(ar+ac) = sar*cac + car*sac, with cac = 1 + cac1:
+        sa = (sar[:, None] * cac1[None, :] + car1[:, None] * sac[None, :]
+              + sar[:, None] + sac[None, :])
+        sb = (sbr[:, None] * cbc1[None, :] + cbr1[:, None] * sbc[None, :]
+              + sbr[:, None] + sbc[None, :])
+        # cos(a) - 1 = car*cac - sar*sac - 1 = car1 + cac1 + car1*cac1
+        #              - sar*sac
+        dca = (car1[:, None] * cac1[None, :] - sar[:, None] * sac[None, :]
+               + car1[:, None] + cac1[None, :])
+        dcb = (cbr1[:, None] * cbc1[None, :] - sbr[:, None] * sbc[None, :]
+               + cbr1[:, None] + cbc1[None, :])
         dvx = dca + dcb + dca * dcb  # cos(a)cos(b) - 1
         dvy = sa * (1.0 + dcb)
         dvz = sb
@@ -985,13 +1002,12 @@ def _mixed_impl_fn(
         rot_o_t = rot0 @ o_t
         a_dot = fm.dot3(jnp.broadcast_to(rot_o_t, rdd.shape), rdd)
         a0 = jnp.dot(o_t, m0)  # scalar (rotation-invariant)
-        # near - o_t, assembled from small recentred terms (~1e5 km)
-        p_off = (
-            (a0 * rm0 - rot_o_t)
-            + a0 * rdd
-            + a_dot[..., None] * rm0
-            + a_dot[..., None] * rdd
-        )
+        # near - o_t, assembled from small recentred terms (~1e5 km).
+        # a0*rm0 + a0*rdd + a_dot*rm0 + a_dot*rdd factors exactly as
+        # (a0 + a_dot) * (rm0 + rdd) = (a0 + a_dot) * d_bf0 - three f64
+        # multiplies per pixel instead of nine (reassociation moves the
+        # ~1e5 km values by ~1e-11 km, far below the mm-level budget)
+        p_off = (a0 + a_dot)[..., None] * d_bf0 - rot_o_t
         dot_a = fm.dot3(p_off, p_off)  # |near point - observer ray|^2, f64
         off = p_off + (rot_o_t - rot0 @ anchors['subpoint_obsvec'])
         # |(-subpoint_rayvec) + off| - subpoint_distance, cancellation-free:
@@ -1185,6 +1201,17 @@ def _azimuth_repair_f64(
         # (3,3) f64 rotation build. The corrections are ~1e-4 relative,
         # so their f32 rounding perturbs the unit vectors at ~1e-11 -
         # orders below what the arccos conditioning needs here.
+        #
+        # Normalisation-free dihedral: with raw (unnormalised) sun s,
+        # observer o and normal n vectors, the arccos argument
+        # (cos p - cos e cos i) / (sin e sin i) rewrites exactly as
+        #   [(s.o)(n.n) - (n.o)(n.s)] / sqrt(((n.n)(o.o) - (n.o)^2)
+        #                                    ((n.n)(s.s) - (n.s)^2))
+        # - six f64 dots and one Newton rsqrt replace the three f64
+        # normalisations + sqrt + reciprocal of the unit-vector form.
+        # Conditioning is unchanged: (n.n)(o.o) - (n.o)^2 =
+        # |n|^2|o|^2 sin^2 e carries the same eps/sin^2 relative rounding
+        # the 1 - cos^2 e subtraction did.
         f32_ = jnp.float32
         dt32 = dtau_k.astype(f32_)
         sp32_k = spoint_k.astype(f32_)
@@ -1196,8 +1223,7 @@ def _azimuth_repair_f64(
         point_j = _const_matvec(rot0.T, spoint_k) + corr_p.astype(
             jnp.float64
         )
-        srfvec = targ_rel0 + targ_vel0 * dtau_k[..., None] + point_j
-        u_obs = -fm.normalize3_64(srfvec)
+        o_vec = -(targ_rel0 + targ_vel0 * dtau_k[..., None] + point_j)
         point_ssb = (
             anchors['targ_pos0'] + targ_vel0 * dtau_k[..., None] + point_j
         )
@@ -1206,38 +1232,86 @@ def _azimuth_repair_f64(
             jnp.float64
         ) * (1.0 / CLIGHT)
         sun_dtau = (tau0 - anchors['sun_epoch0']) + dtau_k - lt_s
-        sun_pos = anchors['sun_pos0'] + anchors['sun_vel0'] * (
-            sun_dtau[..., None]
+        s_vec = (
+            anchors['sun_pos0']
+            + anchors['sun_vel0'] * sun_dtau[..., None]
+            - point_ssb
         )
-        u_sun = fm.normalize3_64(sun_pos - point_ssb)
-        n_bf = fm.normalize3_64(spoint_k * (inv_radii * inv_radii))
+        n_raw = spoint_k * (inv_radii * inv_radii)
         corr_n = (
             dt32[..., None]
-            * _matvec(rot1.T.astype(f32_), n_bf.astype(f32_))
+            * _matvec(rot1.T.astype(f32_), n_raw.astype(f32_))
             + (dt32 * dt32)[..., None]
-            * _matvec(rot2h.T.astype(f32_), n_bf.astype(f32_))
+            * _matvec(rot2h.T.astype(f32_), n_raw.astype(f32_))
         )
-        n_j = _const_matvec(rot0.T, n_bf) + corr_n.astype(jnp.float64)
-        cp = fm.dot3(u_sun, u_obs)
-        ci = fm.dot3(n_j, u_sun)
-        ce = fm.dot3(n_j, u_obs)
-        den2 = (1.0 - ce * ce) * (1.0 - ci * ci)
-        den = fm.sqrt64(jnp.maximum(den2, 0.0))
-        arg = (cp - ce * ci) * fm.recip64(jnp.maximum(den, 1e-30))
+        n_vec = _const_matvec(rot0.T, n_raw) + corr_n.astype(jnp.float64)
+        so = fm.dot3(s_vec, o_vec)
+        nn = fm.dot3(n_vec, n_vec)
+        ns = fm.dot3(n_vec, s_vec)
+        no = fm.dot3(n_vec, o_vec)
+        oo = fm.dot3(o_vec, o_vec)
+        ss = fm.dot3(s_vec, s_vec)
+        num = so * nn - no * ns
+        den2 = (nn * oo - no * no) * (nn * ss - ns * ns)
+        # Clamp inside the f32-seed range of rsqrt64 (f32 underflows at
+        # ~1e-38); degenerate den2 means the pixel sits exactly on a
+        # sub-point where the dihedral is undefined anyway (clip decides)
+        arg = num * fm.rsqrt64(jnp.maximum(den2, 1e-30))
         return (
             jnp.pi - jnp.arccos(jnp.clip(arg, -1.0, 1.0))
         ) * (1.0 / DEG)
 
-    az = az32.astype(jnp.float64)
+    # The blend stays in f32: every consumer (the f32 output planes)
+    # rounds to f32 anyway - what the repair fixes is the f32
+    # *computation* error of the dihedral, not the representation.
+    az = az32
+
+    nx = az.shape[-1] if az.ndim == 2 else 0
+    # Column windowing: the caps are compact in x as well as y, so a
+    # triggered chunk evaluates the dense f64 dihedral only on a static
+    # W-column window dynamically positioned over the need pixels, with
+    # an exact full-width fallback when they span wider (e.g. an
+    # extremely zoomed disc). Cuts the dense f64 work ~nx/W-fold.
+    win = 512 if (nx >= 1024 and nx % 512 == 0) else 0
 
     def chunk(args):
         az_c, need_c, dtau_c, spoint_c = args
 
-        def repair(_):
-            return jnp.where(need_c, az64_at(dtau_c, spoint_c), az_c)
+        def repair_full(_):
+            return jnp.where(
+                need_c,
+                az64_at(dtau_c, spoint_c).astype(jnp.float32),
+                az_c,
+            )
+
+        if not win:
+            return lax.cond(
+                jnp.any(need_c), repair_full, lambda _: az_c, operand=None
+            )
+
+        col_has = jnp.any(need_c, axis=0)
+        idx = jnp.arange(nx)
+        first = jnp.min(jnp.where(col_has, idx, nx))
+        last = jnp.max(jnp.where(col_has, idx, -1))
+        start = jnp.clip(first, 0, nx - win)
+        fits = (last - start) < win
+
+        def repair_window(_):
+            def sl(v):
+                return lax.dynamic_slice_in_dim(v, start, win, axis=1)
+
+            az_w = jnp.where(
+                sl(need_c),
+                az64_at(sl(dtau_c), sl(spoint_c)).astype(jnp.float32),
+                sl(az_c),
+            )
+            return lax.dynamic_update_slice_in_dim(az_c, az_w, start, axis=1)
+
+        def dispatch(_):
+            return lax.cond(fits, repair_window, repair_full, operand=None)
 
         return lax.cond(
-            jnp.any(need_c), repair, lambda _: az_c, operand=None
+            jnp.any(need_c), dispatch, lambda _: az_c, operand=None
         )
 
     # The caller's grid unit is one row band (see get_fused_pipeline);

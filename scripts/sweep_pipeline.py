@@ -33,23 +33,19 @@ def main() -> None:
     )
     body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
 
-    sync_fn = jax.jit(
-        lambda d: sum(
-            jnp.sum(jnp.nan_to_num(v[::128, ::128])) for v in d.values()
-        )
-    )
-
     t0 = time.time()
-    out = compute_backplanes(body, as_numpy=False)
-    float(sync_fn(out))
+    out, cs = compute_backplanes(body, as_numpy=False, with_checksum=True)
+    float(cs)
     warm = time.time() - t0
 
     ts = []
     for _ in range(5):
         body.adjust_disc_params(dx=0.1)
         t0 = time.time()
-        out = compute_backplanes(body, as_numpy=False)
-        float(sync_fn(out))
+        out, cs = compute_backplanes(
+            body, as_numpy=False, with_checksum=True
+        )
+        float(cs)
         ts.append((time.time() - t0) * 1e3)
     blocked = min(ts)
 
@@ -58,8 +54,10 @@ def main() -> None:
     t0 = time.time()
     for _ in range(n):
         body.adjust_disc_params(dx=0.1)
-        out = compute_backplanes(body, as_numpy=False)
-    float(sync_fn(out))
+        out, cs = compute_backplanes(
+            body, as_numpy=False, with_checksum=True
+        )
+    float(cs)
     pipelined = (time.time() - t0) * 1e3 / n
 
     cfg = {
