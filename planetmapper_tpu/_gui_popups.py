@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import threading
 import traceback
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 

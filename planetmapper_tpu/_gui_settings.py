@@ -13,7 +13,7 @@ Field kinds: ``color`` (colour-picker button), ``float`` (numeric entry),
 from __future__ import annotations
 
 import traceback
-from typing import Any, Callable
+from typing import Any
 
 import tkinter as tk
 from tkinter import colorchooser, messagebox, ttk

@@ -17,13 +17,12 @@ import datetime
 import functools
 import math
 import os
-from typing import Any, Callable, Literal, Sequence, TypedDict, TypeVar
+from typing import Any, Literal, TypedDict, TypeVar
 
 import numpy as np
 
 from . import data_loader
 from .base import (
-    BodiesNotDistinctError,
     BodyBase,
     FloatOrArray,
     NotFoundError,
@@ -35,7 +34,7 @@ from .base import (
 )
 from .basic_body import BasicBody
 from .core import geometry as geom
-from .core.ephemeris import CLIGHT, InsufficientDataError
+from .core.ephemeris import InsufficientDataError
 from .core.frames import BodyFrameModel
 from .core.scene import SceneEngine
 from .kernels.pool import KernelVarNotFoundError

@@ -23,23 +23,17 @@ from typing import Any, Callable, Literal, NamedTuple, Protocol, TypedDict
 import numpy as np
 
 from .base import (
-    NotFoundError,
     _as_readonly_view,
     _cache_clearable_result,
     _cache_stable_result,
     _return_readonly_array,
 )
 from .body import (
-    AngularCoordinateKwargs,
     Body,
-    LonLatGridKwargs,
-    WireframeComponent,
-    WireframeKwargs,
     _adjust_surface_altitude_decorator,
     _AdjustedSurfaceAltitude,
     _cache_clearable_alt_dependent_result,
 )
-from .core import geometry as geom
 from .ops.projections import (
     ProjectionTransformer,
     ProjStringError,

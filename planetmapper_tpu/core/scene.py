@@ -23,7 +23,6 @@ sign conventions).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Callable
 
@@ -328,7 +327,8 @@ class SceneEngine:
             - sub['subpoint_distance']
         )
         tau = sub['subpoint_et'] - dist_offset / CLIGHT
-        return sub['subpoint_obsvec'] + self.frame_model.rotate_bodyfixed_to_j2000(tau, off)
+        rot = self.frame_model.rotate_bodyfixed_to_j2000(tau, off)
+        return sub['subpoint_obsvec'] + rot
 
     def _obsvec2targvec_core(self, obsvec, sub):
         import jax.numpy as jnp
@@ -339,7 +339,8 @@ class SceneEngine:
             - sub['subpoint_distance']
         )
         tau = sub['subpoint_et'] - dist_offset / CLIGHT
-        return sub['subpoint_targvec'] + self.frame_model.rotate_j2000_to_bodyfixed(tau, off)
+        rot = self.frame_model.rotate_j2000_to_bodyfixed(tau, off)
+        return sub['subpoint_targvec'] + rot
 
     # ------------------------------------------------------------------
     # Scene constants (Body.__init__ equivalent, one jitted program)

@@ -7,7 +7,9 @@ keywords, forward and inverse projection for the zenithal family --
 gnomonic ``TAN``, orthographic ``SIN`` (radio interferometry), zenithal
 equidistant ``ARC``, stereographic ``STG``, zenithal equal-area ``ZEA`` --
 and plain linear axes, per the FITS WCS papers (Greisen & Calabretta
-2002), plus SIP distortion detection with ``pix2foc`` evaluation.
+2002), plus full SIP distortion handling: forward A/B polynomials in
+``pix2foc`` and the AP/BP inverse (or Newton-free fixed-point inversion
+of A/B when AP/BP are absent) in ``foc2pix`` / ``world_to_pixel_values``.
 
 Pixel conventions follow astropy's ``*_values`` APIs: 0-based pixel
 coordinates (the FITS-standard 1-based CRPIX is converted internally).
@@ -36,6 +38,8 @@ class WCS:
         self.matrix = np.eye(2)  # CD matrix: intermediate = CD @ (p - crpix)
         self._sip_a: dict[tuple[int, int], float] = {}
         self._sip_b: dict[tuple[int, int], float] = {}
+        self._sip_ap: dict[tuple[int, int], float] = {}
+        self._sip_bp: dict[tuple[int, int], float] = {}
         del naxis
         if header is not None:
             self._parse(header)
@@ -116,16 +120,16 @@ class WCS:
         a_order = get('A_ORDER')
         b_order = get('B_ORDER')
         if a_order is not None or b_order is not None:
-            sip_re = re.compile(r'^([AB])_(\d+)_(\d+)$')
+            sip_re = re.compile(r'^(AP|BP|A|B)_(\d+)_(\d+)$')
+            tables = {
+                'A': self._sip_a, 'B': self._sip_b,
+                'AP': self._sip_ap, 'BP': self._sip_bp,
+            }
             for key in header.keys():
                 m = sip_re.match(str(key))
                 if m:
-                    which, p, q = m.group(1), int(m.group(2)), int(m.group(3))
-                    coeff = float(header[key])
-                    if which == 'A':
-                        self._sip_a[(p, q)] = coeff
-                    else:
-                        self._sip_b[(p, q)] = coeff
+                    p, q = int(m.group(2)), int(m.group(3))
+                    tables[m.group(1)][(p, q)] = float(header[key])
 
         self.naxis = 2
         self.wcs_valid = True
@@ -229,8 +233,8 @@ class WCS:
         dp = inter @ np.linalg.inv(self.matrix).T
         x = dp[..., 0] + self.crpix[0] - 1
         y = dp[..., 1] + self.crpix[1] - 1
-        # NOTE: SIP inverse (AP/BP) not applied; distortions are warned
-        # about rather than corrected, matching the disc-fitting usage.
+        if self.has_distortion:
+            x, y = self.foc2pix(x, y, 0)
         if np.ndim(x) == 0:
             return float(x), float(y)
         return x, y
@@ -248,6 +252,45 @@ class WCS:
         for (p, q), coeff in self._sip_b.items():
             dy = dy + coeff * u**p * v**q
         return x + dx + origin, y + dy + origin
+
+    def foc2pix(self, x, y, origin: int = 0):
+        """Invert the SIP distortion (focal plane -> pixel).
+
+        Uses the header's AP/BP inverse polynomials when present (the SIP
+        convention's precomputed inverse, evaluated on focal-plane offsets
+        U, V relative to CRPIX); otherwise inverts the forward A/B
+        polynomials by fixed-point iteration (the distortion is a small
+        perturbation of the identity, so ``p_{k+1} = f - d(p_k)``
+        contracts; astropy's ``all_world2pix`` solves the same problem
+        iteratively). Matches the reference's astropy-grade
+        ``world_to_pixel`` handling (reference observation.py:427-500).
+        """
+        x = np.asarray(x, dtype=float) - origin
+        y = np.asarray(y, dtype=float) - origin
+        if self._sip_ap or self._sip_bp:
+            u = x + 1 - self.crpix[0]
+            v = y + 1 - self.crpix[1]
+            dx = np.zeros_like(u)
+            dy = np.zeros_like(v)
+            for (p, q), coeff in self._sip_ap.items():
+                dx = dx + coeff * u**p * v**q
+            for (p, q), coeff in self._sip_bp.items():
+                dy = dy + coeff * u**p * v**q
+            return x + dx + origin, y + dy + origin
+        # Newton-free fixed point on the pixel offsets: d(.) is the
+        # forward SIP perturbation, |d'| << 1 over the chip for any
+        # physical imager, giving linear convergence to float rounding
+        # in a handful of sweeps.
+        px, py = x, y
+        for _ in range(30):
+            fx, fy = self.pix2foc(px, py, 0)
+            ex = fx - x
+            ey = fy - y
+            px = px - ex
+            py = py - ey
+            if max(np.max(np.abs(ex)), np.max(np.abs(ey))) < 1e-12:
+                break
+        return px + origin, py + origin
 
     # ------------------------------------------------------------------
     # Zenithal (azimuthal) projections, FITS convention (Calabretta &
@@ -287,14 +330,18 @@ class WCS:
         sin_t, cos_t = np.sin(theta), np.cos(theta)
         sin_d0, cos_d0 = math.sin(dec0), math.cos(dec0)
         # native -> celestial rotation about the pole at (ra0, dec0)
-        # (Calabretta & Greisen 2002 eq 2, with general LONPOLE)
-        dec = np.arcsin(
-            np.clip(sin_t * sin_d0 + cos_t * np.cos(dphi) * cos_d0, -1, 1)
+        # (Calabretta & Greisen 2002 eq 2, with general LONPOLE).
+        # dec via arctan2 rather than arcsin: the magnitude of the ra
+        # numerator/denominator pair IS cos(dec), and arcsin is
+        # ill-conditioned where |dec| -> 90 deg (loses ~7 digits of the
+        # offset for pixels near the pole)
+        ra_num = -cos_t * np.sin(dphi)
+        ra_den = sin_t * cos_d0 - cos_t * np.cos(dphi) * sin_d0
+        dec = np.arctan2(
+            sin_t * sin_d0 + cos_t * np.cos(dphi) * cos_d0,
+            np.hypot(ra_num, ra_den),
         )
-        ra = ra0 + np.arctan2(
-            -cos_t * np.sin(dphi),
-            sin_t * cos_d0 - cos_t * np.cos(dphi) * sin_d0,
-        )
+        ra = ra0 + np.arctan2(ra_num, ra_den)
         dec = np.where(np.isnan(theta), np.nan, dec)
         ra = np.where(np.isnan(theta), np.nan, ra)
         return np.degrees(ra) % 360.0, np.degrees(dec)
@@ -306,14 +353,18 @@ class WCS:
         sin_d, cos_d = np.sin(dec), np.cos(dec)
         sin_d0, cos_d0 = math.sin(dec0), math.cos(dec0)
         cos_dra = np.cos(ra - ra0)
-        # native coordinates (inverse rotation, eq 5)
-        theta = np.arcsin(
-            np.clip(sin_d * sin_d0 + cos_d * cos_d0 * cos_dra, -1, 1)
+        # native coordinates (inverse rotation, eq 5). theta via arctan2:
+        # the phi numerator/denominator magnitude IS cos(theta), and
+        # arcsin is ill-conditioned at theta -> 90 deg - exactly the
+        # well-navigated case of world points near the reference point,
+        # where it would round-trip world_to_pixel with ~3e-4 px error
+        phi_num = -cos_d * np.sin(ra - ra0)
+        phi_den = sin_d * cos_d0 - cos_d * sin_d0 * cos_dra
+        theta = np.arctan2(
+            sin_d * sin_d0 + cos_d * cos_d0 * cos_dra,
+            np.hypot(phi_num, phi_den),
         )
-        phi = phi_p + np.arctan2(
-            -cos_d * np.sin(ra - ra0),
-            sin_d * cos_d0 - cos_d * sin_d0 * cos_dra,
-        )
+        phi = phi_p + np.arctan2(phi_num, phi_den)
         with np.errstate(divide='ignore', invalid='ignore'):
             r = _ZENITHAL_TO_R[proj](theta)
         xi = r * np.sin(phi)

@@ -27,7 +27,7 @@ from typing import Any
 
 import numpy as np
 
-from .daf import DAFFile, read_daf
+from .daf import read_daf
 
 
 class SpkError(ValueError):

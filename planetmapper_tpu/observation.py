@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import datetime
 import os
-import warnings
 from typing import Any, Callable, Collection, Literal
 
 import numpy as np
@@ -26,12 +25,11 @@ from .body import (
     _AdjustedSurfaceAltitude,
     _cache_clearable_alt_dependent_result,
 )
-from .body_xy import BodyXY, MapKwargs
+from .body_xy import BodyXY
 from .exceptions import warn
 from .io import fits
 from .io.wcs import WCS
 from .progress import (
-    CLIProgressHook,
     SaveMapProgressHookCLI,
     SaveNavProgressHookCLI,
     progress_decorator,

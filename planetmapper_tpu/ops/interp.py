@@ -9,7 +9,6 @@ replaced by fully vectorised gathers and masked evaluations.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import scipy.interpolate

@@ -21,7 +21,6 @@ from typing import Any, Callable
 import numpy as np
 
 from ..core import geometry as geom
-from ..core.ephemeris import CLIGHT
 
 DEG = math.pi / 180.0
 

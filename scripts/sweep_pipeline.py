@@ -21,8 +21,6 @@ os.environ.setdefault(
 
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
 
     from planetmapper_tpu import BodyXY
     from planetmapper_tpu.pipeline import compute_backplanes

@@ -1,6 +1,6 @@
 """Auxiliary subsystem tests: utils, data_loader, progress, io, exceptions."""
 
-import io as io_module
+
 import warnings
 
 import numpy as np
@@ -466,6 +466,65 @@ class TestWcs:
         assert sip.world_axis_physical_types == [
             'pos.eq.ra', 'pos.eq.dec'
         ]
+
+    def test_sip_inverse_roundtrip_fixed_point(self):
+        # JWST/HST-scale forward-only SIP (no AP/BP in the header):
+        # world_to_pixel must invert the A/B polynomials so distorted
+        # frames navigate exactly (reference gets this via astropy)
+        from planetmapper_tpu.io.wcs import WCS
+
+        w = WCS(fits.Header({
+            'CTYPE1': 'RA---TAN-SIP', 'CTYPE2': 'DEC--TAN-SIP',
+            'CRPIX1': 512.0, 'CRPIX2': 512.0,
+            'CRVAL1': 83.1, 'CRVAL2': -5.4,
+            'CDELT1': -1.8e-5, 'CDELT2': 1.8e-5,
+            'A_ORDER': 3, 'B_ORDER': 3,
+            'A_2_0': 2.3e-6, 'A_0_2': -1.1e-6, 'A_1_1': 4.7e-7,
+            'A_3_0': 1.2e-10, 'A_1_2': -3.5e-11,
+            'B_2_0': -1.4e-6, 'B_0_2': 2.9e-6, 'B_1_1': -6.1e-7,
+            'B_0_3': 2.2e-10, 'B_2_1': 5.0e-11,
+        }))
+        x = np.array([0.0, 100.0, 511.5, 900.0, 1023.0])
+        y = np.array([0.0, 950.0, 511.5, 30.0, 1023.0])
+        # distortion is genuinely large at the chip corner (~0.5 px)
+        fx, fy = w.pix2foc(x, y, 0)
+        assert np.max(np.hypot(fx - x, fy - y)) > 0.4
+        ra, dec = w.pixel_to_world_values(x, y)
+        x2, y2 = w.world_to_pixel_values(ra, dec)
+        np.testing.assert_allclose(x2, x, atol=1e-6)
+        np.testing.assert_allclose(y2, y, atol=1e-6)
+
+    def test_sip_inverse_uses_ap_bp_when_present(self):
+        # with AP/BP in the header the inverse is the header polynomial,
+        # not the iterative solve: check it is actually evaluated
+        from planetmapper_tpu.io.wcs import WCS
+
+        base = {
+            'CTYPE1': 'RA---TAN-SIP', 'CTYPE2': 'DEC--TAN-SIP',
+            'CRPIX1': 50.0, 'CRPIX2': 50.0,
+            'CRVAL1': 10.0, 'CRVAL2': 20.0,
+            'CDELT1': -0.001, 'CDELT2': 0.001,
+            'A_ORDER': 2, 'B_ORDER': 2,
+            'A_2_0': 1e-5, 'B_0_2': -1e-5,
+        }
+        w_iter = WCS(fits.Header(base))
+        # exact polynomial inverse of this forward model to O(d^2):
+        # AP/BP = -A/B evaluated on (U, V) ~ (u, v)
+        w_ap = WCS(fits.Header({
+            **base, 'AP_ORDER': 2, 'BP_ORDER': 2,
+            'AP_2_0': -1e-5, 'BP_0_2': 1e-5,
+        }))
+        ra, dec = w_iter.pixel_to_world_values(80.0, 15.0)
+        xi, yi = w_iter.world_to_pixel_values(ra, dec)
+        xa, ya = w_ap.world_to_pixel_values(ra, dec)
+        # iterative solve is exact; AP/BP agree to the O(d^2) truncation
+        assert xi == pytest.approx(80.0, abs=1e-9)
+        assert yi == pytest.approx(15.0, abs=1e-9)
+        assert xa == pytest.approx(80.0, abs=1e-3)
+        assert ya == pytest.approx(15.0, abs=1e-3)
+        # and the AP/BP path is really the polynomial (differs from the
+        # identity fallback by the distortion magnitude)
+        assert abs(xa - xi) > 1e-7
 
     def test_cunit_not_degrees_reported(self):
         from planetmapper_tpu.io.wcs import WCS

@@ -16,7 +16,7 @@ import pytest
 
 from common import setup_kernels
 
-import planetmapper_tpu
+import planetmapper_tpu  # noqa: F401  (x64 config side-effect)
 from planetmapper_tpu import BasicBody, Body
 from planetmapper_tpu.base import BodiesNotDistinctError, NotFoundError
 

@@ -9,7 +9,6 @@ pure elementwise f32 jnp code, so CPU f32 semantics match TPU VPU f32.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ import pytest
 
 from common import REFERENCE_DATA_PATH, setup_kernels
 
-import planetmapper_tpu
+import planetmapper_tpu  # noqa: F401  (x64 config side-effect)
 from planetmapper_tpu import Observation
 from planetmapper_tpu.io import fits
 

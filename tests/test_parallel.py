@@ -8,7 +8,7 @@ import pytest
 
 from common import setup_kernels
 
-from planetmapper_tpu import BodyXY, Observation
+from planetmapper_tpu import BodyXY
 from planetmapper_tpu.parallel import (
     fit_disc_gradient,
     make_mesh,
