@@ -684,9 +684,9 @@ class BodyXY(Body):
         instead of paying a synchronous round trip per frame. The result
         supports all read-style numpy usage; code that mutates the result
         in place should materialise it first (``m = np.asarray(m)``).
-        Pass ``as_numpy=True`` for an eager numpy result. The
-        host-evaluated 'smooth' mode and the no-device fallback always
-        return numpy.
+        Pass ``as_numpy=True`` for an eager numpy result. All modes
+        (including 'smooth') run device-resident for both single frames
+        and cubes; the no-device fallback always returns numpy.
         """
         img = np.asarray(img)
         use_device = os.environ.get(
@@ -696,15 +696,9 @@ class BodyXY(Body):
         if interpolation in spline_k:
             interpolation = spline_k[interpolation]  # type: ignore[assignment]
 
-        if img.ndim == 3 and not (
-            use_device
-            and (
-                isinstance(interpolation, (int, tuple))
-                or interpolation == 'nearest'
-            )
-        ):
-            # host-evaluated modes only ('smooth', or device disabled):
-            # per-frame fallback loop (always numpy output)
+        if img.ndim == 3 and not use_device:
+            # device disabled: host per-frame fallback loop (always
+            # numpy output)
             return np.array(
                 [
                     self.map_img(

@@ -16,7 +16,6 @@ import os
 from typing import Any, Callable, Collection, Literal
 
 import numpy as np
-import scipy.ndimage
 
 from . import common, utils
 from .base import _cache_stable_result
@@ -454,17 +453,16 @@ class Observation(BodyXY):
         return img
 
     def fit_disc_position(self) -> None:
-        """Fit (x0, y0) to the brightest part of the data."""
-        threshold_img = self._get_img_for_fitting()
-        threshold = 0.5 * sum(
-            [
-                np.percentile(threshold_img, 5),
-                np.percentile(threshold_img, 95),
-            ]
-        )
-        threshold_img[np.where(threshold_img <= threshold)] = 0
-        threshold_img[np.where(threshold_img > threshold)] = 1
-        x0, y0 = np.array(scipy.ndimage.center_of_mass(threshold_img))[::-1]
+        """Fit (x0, y0) to the brightest part of the data.
+
+        Device reduction: percentile threshold + first moment of the
+        binary mask in one jitted program (:func:`ops.photometry.
+        threshold_centroid`); same estimator as the reference
+        (observation.py:762-780).
+        """
+        from .ops.photometry import threshold_centroid
+
+        x0, y0 = threshold_centroid(self._get_img_for_fitting())
         self.set_x0(x0)
         self.set_y0(y0)
         self.set_disc_method('fit_position')

@@ -84,15 +84,43 @@ def from_f32(x):
 
 
 def from_f64(x):
-    """f64 array -> (hi, lo) f32 pair (exact; inverse of :func:`to_f64`)."""
+    """f64 array -> (hi, lo) f32 pair (exact; inverse of :func:`to_f64`).
+
+    The pair is passed through an optimization barrier: XLA's
+    excess-precision convert-folding rewrites ``f32(a64) op f32(b64)``
+    into ``f32(a64 op64 b64)``, which evaluates downstream f32 chains
+    in f64 and rounds ONCE - exactly the transformation that nulls
+    every error-free-transformation term this library relies on
+    (observed on the axon XLA:CPU stack as context-dependent
+    ulp(largest-term)-grade collapses of recentred 1e9-km chains). The
+    barrier makes the split words opaque f32 values the simplifier
+    cannot trace back to converts.
+    """
     hi = x.astype(jnp.float32)
     lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
-    return hi, lo
+    return lax.optimization_barrier((hi, lo))
 
 
 def to_f64(d):
     """(hi, lo) -> f64 array (exact: hi and lo are representable)."""
     return d[0].astype(jnp.float64) + d[1].astype(jnp.float64)
+
+
+def hi(d):
+    """Collapse-proof f32 value of a ds pair (use instead of ``d[0]``).
+
+    Consuming ONLY the hi word of a ds chain lets fast-math-enabled
+    backends reassociate the error-free-transformation sums away - the
+    chain then evaluates as naive f32, observed in this stack as
+    context-dependent ~ulp(largest-term) errors (tens of km on
+    recentred 1e9-km chains). Empirically only fusions ROOTED at an
+    f64 value compile strictly, so the pair is combined to f64 and an
+    optimization barrier pins that combine as the fusion root before
+    converting back; the f32 value is recovered exactly
+    (``|lo| <= ulp(hi)/2`` makes the rounded combine equal hi).
+    Costs one f64 add + two converts + a fusion break per use.
+    """
+    return lax.optimization_barrier(to_f64(d)).astype(F32)
 
 
 # ---------------------------------------------------------------------------
@@ -142,13 +170,41 @@ def mul_f(a, b):
     return quick_two_sum(p, e)
 
 
-def recip(a):
-    """1/a in ds via f32 seed + one ds Newton step (~2^-47 relative).
+def recip_seed(x):
+    """~f32-accurate 1/x without any float division.
 
-    Domain: |a| in ~[1e-37, 1e37]; NaN and +-0 propagate to NaN/inf in
-    the seed exactly like plain division.
+    A plain ``1.0 / x`` seed is NOT safe here: fast-math-enabled
+    backends both (a) lower f32 division to an approximate reciprocal
+    (rcpps-class, ~2^-12 relative) and (b) symbolically fold pure-f32
+    Newton refinements ``r*(2 - x*r)`` around a division back INTO the
+    division - observed in this stack as context-dependent ~1e-8-grade
+    ds.recip results that no added f32 Newton step could repair. The
+    magic-constant exponent-flip seed below is integer arithmetic, so
+    no simplifier can connect it to a division; three Newton steps
+    bring its ~0.05 relative error to the f32 rounding floor
+    deterministically (0.05 -> 2.5e-3 -> 6e-6 -> ~2^-24).
+
+    Domain: positive-range magnitudes in ~[1e-37, 1e37]; x = 0 or inf
+    produce garbage finite/NaN values (callers clamp, as they must for
+    plain division too); NaN propagates.
     """
-    r0 = 1.0 / a[0]
+    ax = jnp.abs(x)
+    bits = lax.bitcast_convert_type(ax, jnp.int32)
+    r = lax.bitcast_convert_type(jnp.int32(0x7EF311C3) - bits, F32)
+    r = jnp.where(x < 0, -r, r)
+    for _ in range(3):
+        r = r * (F32(2.0) - x * r)
+    return r
+
+
+def recip(a):
+    """1/a in ds via division-free f32 seed + one ds Newton step.
+
+    ~2^-47 relative; see :func:`recip_seed` for why the seed must not
+    be a float division. Domain: |a| in ~[1e-37, 1e37]; NaN
+    propagates, a = +-0 yields NaN (not inf) - callers clamp zeros.
+    """
+    r0 = recip_seed(a[0])
     # r = r0 * (2 - a*r0): the seed's 2^-24 error squares
     ar = mul_f(a, r0)
     d = add_f(neg(ar), F32(2.0))

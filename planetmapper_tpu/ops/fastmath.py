@@ -35,9 +35,16 @@ def recip64(x):
     degenerate denominators (as the plain-division pipeline variants guard
     division by zero anyway).
     """
-    r = (1.0 / x.astype(jnp.float32)).astype(jnp.float64)
-    # One NR step: the 24-bit seed's error squares to ~2^-48, i.e. ~3e-15
-    # relative - ample for every pipeline use (needs ~1e-10 at most)
+    from .ds import recip_seed
+
+    # Division-free f32 seed (integer magic + 3 Newton steps): immune
+    # to fast-math backends lowering f32 division approximately and/or
+    # folding same-precision Newton refinements back into the division
+    # (see ds.recip_seed). The f64 Newton step below crosses precision,
+    # which no simplifier folds, and squares the 24-bit seed's error to
+    # ~2^-48, i.e. ~3e-15 relative - ample for every pipeline use
+    # (needs ~1e-10 at most).
+    r = recip_seed(x.astype(jnp.float32)).astype(jnp.float64)
     r = r * (2.0 - x * r)
     return r
 
@@ -63,8 +70,14 @@ def rsqrt64(x):
 
     xc = jnp.clip(x, 1e-37, 3e37)
     seed = xc.astype(jnp.float32)
-    r = lax.rsqrt(seed).astype(jnp.float64)
-    r = r * (1.5 - 0.5 * xc * r * r)  # ~3e-15 relative after one NR step
+    r32 = lax.rsqrt(seed)
+    # f32 NR first: hardware rsqrt seeds are approximate (table-based,
+    # ~2^-12..2^-14); this step makes the seed ~24-bit regardless
+    r32 = r32 * (
+        jnp.float32(1.5) - jnp.float32(0.5) * seed * r32 * r32
+    )
+    r = r32.astype(jnp.float64)
+    r = r * (1.5 - 0.5 * xc * r * r)  # ~3e-15 relative after the f64 NR
     return jnp.where(x < 0.0, jnp.nan, r)  # NaN compares False: stays NaN
 
 

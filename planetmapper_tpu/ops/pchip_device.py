@@ -491,8 +491,10 @@ def smooth_interpolation_device(
     as_numpy: bool = True,
 ):
     """
-    Device-evaluated 'smooth' (PCHIP) reprojection of a single image
-    frame. Semantics follow the host implementation
+    Device-evaluated 'smooth' (PCHIP) reprojection of an image frame, or
+    of a whole cube in one batched program (``img`` with a leading frame
+    axis is vmapped over frames, exactly like the spline/nearest cube
+    paths). Semantics follow the host implementation
     (:func:`..interp.smooth_interpolation` / reference
     body_xy.py:1704-1853): the image is restricted to the map's padded
     pixel-coordinate bounding box, PCHIP-oversampled separably, and
@@ -501,8 +503,11 @@ def smooth_interpolation_device(
     import jax.numpy as jnp
 
     img = np.asarray(img)
-    ny, nx = img.shape
-    out_shape = x_map.shape
+    is_cube = img.ndim == 3
+    ny, nx = img.shape[-2:]
+    out_shape = (
+        (img.shape[0],) + tuple(x_map.shape) if is_cube else x_map.shape
+    )
     if np.all(np.isnan(img)) or not np.any(
         np.isfinite(x_map) & np.isfinite(y_map)
     ):
@@ -533,13 +538,16 @@ def smooth_interpolation_device(
     x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
     fn = _smooth_fn(
         ny, nx, iy1 - iy0, ix1 - ix0, ky_rep, kx_rep, propagate_nan,
-        tuple(out_shape),
+        tuple(x_map.shape),
     )
-    vals = fn(
-        jnp.asarray(img, dtype=jnp.float64),
-        jnp.int32(iy0), jnp.int32(ix0),
-        y_dev, x_dev, valid_dev,
-    )
+    img_dev = jnp.asarray(img, dtype=jnp.float64)
+    args = (jnp.int32(iy0), jnp.int32(ix0), y_dev, x_dev, valid_dev)
+    if is_cube:
+        import jax
+
+        vals = jax.vmap(lambda im: fn(im, *args))(img_dev)
+    else:
+        vals = fn(img_dev, *args)
     vals = vals.reshape(out_shape)
     if as_numpy:
         # match the host implementation's float64 output

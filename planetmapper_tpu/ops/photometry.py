@@ -103,3 +103,41 @@ def circular_aperture_sums(
         frac = circular_aperture_fractions(img.shape, x0, y0, float(r))
         sums[i] = float(np.sum(img * frac))
     return sums, areas
+
+
+def threshold_centroid(img: np.ndarray) -> tuple[float, float]:
+    """
+    Centroid of the above-threshold pixels, as one device reduction.
+
+    The threshold is the mid-point of the image's 5th and 95th
+    percentiles and the centroid is the first moment of the binary mask
+    ``img > threshold`` - the disc-position estimator of the reference's
+    ``fit_disc_position`` (reference observation.py:762-780, which used
+    ``scipy.ndimage.center_of_mass``). Returns ``(x0, y0)``.
+    """
+    import jax
+
+    return tuple(
+        float(v) for v in _threshold_centroid_device(jax.numpy.asarray(img))
+    )
+
+
+def _threshold_centroid_device(img):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(img):
+        lo = jnp.percentile(img, 5.0)
+        hi = jnp.percentile(img, 95.0)
+        mask = (img > 0.5 * (lo + hi)).astype(img.dtype)
+        total = jnp.sum(mask)
+        ys = lax.broadcasted_iota(img.dtype, img.shape, 0)
+        xs = lax.broadcasted_iota(img.dtype, img.shape, 1)
+        return (
+            jnp.sum(mask * xs) / total,
+            jnp.sum(mask * ys) / total,
+        )
+
+    return run(img)

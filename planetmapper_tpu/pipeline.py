@@ -200,6 +200,44 @@ def _const_matvec(m, v):
     )
 
 
+def pick_ds():
+    """
+    Select the extended-precision backend for the pipeline's cancelling
+    chains: genuine double-single (:mod:`.ops.ds`) where the platform has
+    no native float64 (TPU - the entire point of the library), native
+    f64 with the same call surface (:mod:`.ops.ds64`) where it does.
+    On native-f64 XLA backends double-single is not only pointless but
+    unsafe: their excess-precision/fast-math passes evaluate f32 chains
+    with f64 intermediates or reassociate them, nulling the error-free
+    transformation terms (observed on the axon XLA:CPU stack as
+    context-dependent ulp(largest-term)-grade collapses, e.g. 64 km
+    RING-RADIUS errors). Override with ``PLANETMAPPER_TPU_DS=ds|f64``.
+    """
+    from .ops import ds, ds64
+
+    forced = os.environ.get('PLANETMAPPER_TPU_DS', '')
+    if forced == 'ds':
+        return ds
+    if forced == 'f64':
+        return ds64
+    import jax
+
+    return ds64 if jax.default_backend() == 'cpu' else ds
+
+
+def _ds_dot3(ds, a, b):
+    """Dot of two ds 3-vectors (length-3 lists of (hi, lo) pairs)."""
+    return ds.add(
+        ds.add(ds.mul(a[0], b[0]), ds.mul(a[1], b[1])),
+        ds.mul(a[2], b[2]),
+    )
+
+
+def _ds_split3(ds, v):
+    """(..., 3) f64 field -> list of 3 per-component ds pairs."""
+    return [ds.from_f64(v[..., i]) for i in range(3)]
+
+
 def rect_to_geodetic_surface(v, re, f, n_iter: int = 1):
     """
     Geodetic conversion for points on (or very near) the spheroid surface.
@@ -539,6 +577,7 @@ def _mixed_impl_fn(
     import jax.numpy as jnp
     from jax import lax
 
+    ds = pick_ds()
     from .ops import fastmath as fm
 
     def impl(nx, ny, xy2angular, disc, radii, anchors, row0=0.0):
@@ -931,30 +970,89 @@ def _mixed_impl_fn(
 
         # Azimuth: dihedral angle between the tangent-plane projections of
         # the sun and observer directions. The atan2 form is well
-        # conditioned in the angle itself (unlike arccos near 0/180), so
-        # f32 suffices except where a projection is short (sin i or
-        # sin e -> 0, where the f32 projections lose relative accuracy as
-        # 1/sin); those pixels are recomputed exactly in f64.
-        a_p = u_sun - n_j * fm.dot3(n_j, u_sun)[..., None]
-        b_p = u_obs - n_j * fm.dot3(n_j, u_obs)[..., None]
-        cr_p = jnp.cross(a_p, b_p)
-        saz = jnp.sqrt(fm.dot3(cr_p, cr_p))
-        caz = fm.dot3(a_p, b_p)
-        azimuth32 = (
-            jnp.float32(jnp.pi) - jnp.arctan2(saz, caz)
-        ) * f32(1.0 / DEG)
-        if have_sun and os.environ.get(
-            'PLANETMAPPER_TPU_AZ_REPAIR', '1'
-        ) != '0':
-            si2 = fm.dot3(a_p, a_p)  # sin^2(incidence)
-            se2 = fm.dot3(b_p, b_p)  # sin^2(emission)
-            need_fix = found & ((si2 < f32(0.0225)) | (se2 < f32(0.0225)))
-            azimuth = _azimuth_repair_f64(
-                azimuth32, need_fix, dtau, spoint, anchors, targ_rel0,
-                targ_vel0, inv_radii, tau0,
-            )
+        # conditioned in the angle itself (unlike arccos near 0/180), but
+        # forming the projections cancels catastrophically where sin(i)
+        # or sin(e) -> 0 (the sub-solar/sub-observer caps): a relative
+        # input error eps becomes eps/sin in the projection. So the
+        # scaled projections A = s(n.n) - n(n.s), B = o(n.n) - n(n.o)
+        # (positive multiples of the unit-vector projections, so the
+        # dihedral is unchanged) are formed in double-single (hi, lo)
+        # f32-pair arithmetic (:mod:`..ops.ds`, ~2^-49 relative - the
+        # same grade as the platform's emulated f64 at plain-VPU-f32
+        # cost), after which the f32 cross/dot/atan2 tail only adds a
+        # well-conditioned ~6e-8 rad absolute angle error. This replaces
+        # the round-2 windowed per-chunk f64 repair pass, whose
+        # cond/dynamic-slice machinery cost ~7 ms at 2048^2 - more than
+        # the dense ds evaluation.
+        #
+        # All vectors live in the body-fixed (rot0) frame where spoint
+        # already is: the J2000 scene constants rotate ONCE per call
+        # (ds-exact), and the per-pixel epoch corrections are a few 1e-4
+        # relative - their f32 rounding perturbs the directions at
+        # ~1e-11, far below the dihedral's needs (same argument as the
+        # intercept's factored rotation above).
+        if have_sun:
+            c_s_j = anchors['sun_pos0'] - anchors['targ_pos0']
+            c_o_j = -targ_rel0
+            cs_bf = rot0 @ c_s_j
+            co_bf = rot0 @ c_o_j
+            r1_s = (rot1 @ c_s_j).astype(f32)
+            r2_s = (rot2h @ c_s_j).astype(f32)
+            r1_o = (rot1 @ c_o_j).astype(f32)
+            r2_o = (rot2h @ c_o_j).astype(f32)
+            rsv0_32 = (rot0 @ anchors['sun_vel0']).astype(f32)
+            dt2_32 = dtau32 * dtau32
+            s_v, o_v, n_v = [], [], []
+            for i in range(3):
+                sp_i = ds.from_f64(spoint[..., i])
+                corr_s = (
+                    r1_s[i] * dtau32 + r2_s[i] * dt2_32
+                    + rsv0_32[i] * sun_dtau32
+                    - rv0_32[i] * dtau32 - rv1_32[i] * dt2_32
+                )
+                corr_o = (
+                    r1_o[i] * dtau32 + r2_o[i] * dt2_32
+                    - rv0_32[i] * dtau32 - rv1_32[i] * dt2_32
+                )
+                s_v.append(ds.add_f(ds.sub(ds.from_f64(cs_bf[i]), sp_i),
+                                    corr_s))
+                o_v.append(ds.add_f(ds.sub(ds.from_f64(co_bf[i]), sp_i),
+                                    corr_o))
+                # n scaled by re so |n| ~ 1 (scale-invariant dihedral)
+                n_v.append(ds.mul(
+                    sp_i, ds.from_f64(inv_radii[i] * inv_radii[i] * re)
+                ))
+
+            nn_d = _ds_dot3(ds, n_v, n_v)
+            ns_d = _ds_dot3(ds, n_v, s_v)
+            no_d = _ds_dot3(ds, n_v, o_v)
+            a_v = [
+                ds.hi(ds.sub(ds.mul(s_v[i], nn_d), ds.mul(n_v[i], ns_d)))
+                for i in range(3)
+            ]
+            b_v = [
+                ds.hi(ds.sub(ds.mul(o_v[i], nn_d), ds.mul(n_v[i], no_d)))
+                for i in range(3)
+            ]
+            crx = a_v[1] * b_v[2] - a_v[2] * b_v[1]
+            cry = a_v[2] * b_v[0] - a_v[0] * b_v[2]
+            crz = a_v[0] * b_v[1] - a_v[1] * b_v[0]
+            saz = jnp.sqrt(crx * crx + cry * cry + crz * crz)
+            caz = a_v[0] * b_v[0] + a_v[1] * b_v[1] + a_v[2] * b_v[2]
+            azimuth = (
+                (jnp.float32(jnp.pi) - jnp.arctan2(saz, caz))
+                * f32(1.0 / DEG)
+            ).astype(jnp.float64)
         else:
-            azimuth = azimuth32.astype(jnp.float64)
+            a_p = u_sun - n_j * fm.dot3(n_j, u_sun)[..., None]
+            b_p = u_obs - n_j * fm.dot3(n_j, u_obs)[..., None]
+            cr_p = jnp.cross(a_p, b_p)
+            saz = jnp.sqrt(fm.dot3(cr_p, cr_p))
+            caz = fm.dot3(a_p, b_p)
+            azimuth = (
+                (jnp.float32(jnp.pi) - jnp.arctan2(saz, caz))
+                * f32(1.0 / DEG)
+            ).astype(jnp.float64)
         out['AZIMUTH'] = azimuth
 
         # ------- local solar time (from the f64 longitude) ----------------
@@ -995,29 +1093,42 @@ def _mixed_impl_fn(
         beta = rv32 * f32(1.0 / CLIGHT)
         out['DOPPLER'] = jnp.sqrt((1.0 + beta) / (1.0 - beta))
 
-        # ------- limb coordinates (f64 mults; LIMB-DISTANCE is cm-level) --
-        # Assembled directly in the rot0 frame (dots/norms invariant),
-        # which also turns the rot0 @ off matvec below into a plain add
+        # ------- limb coordinates (double-single; LIMB-DISTANCE is
+        # cm-level). Assembled directly in the rot0 frame (dots/norms
+        # invariant), which also turns the rot0 @ off matvec below into a
+        # plain add. All the precision-critical per-pixel arithmetic is
+        # ds (hi, lo) f32-pair math (:mod:`..ops.ds`): the emulated-f64
+        # chain this replaces cost ~7 ms of the 2048^2 frame.
         o_t = anchors['target_obsvec']
         rot_o_t = rot0 @ o_t
-        a_dot = fm.dot3(jnp.broadcast_to(rot_o_t, rdd.shape), rdd)
+        rdd_d = _ds_split3(ds, rdd)
+        dbf0_d = _ds_split3(ds, d_bf0)
+        rot_ot_d = [ds.from_f64(rot_o_t[i]) for i in range(3)]
+        a_dot_d = _ds_dot3(ds, rot_ot_d, rdd_d)
         a0 = jnp.dot(o_t, m0)  # scalar (rotation-invariant)
         # near - o_t, assembled from small recentred terms (~1e5 km).
         # a0*rm0 + a0*rdd + a_dot*rm0 + a_dot*rdd factors exactly as
-        # (a0 + a_dot) * (rm0 + rdd) = (a0 + a_dot) * d_bf0 - three f64
-        # multiplies per pixel instead of nine (reassociation moves the
-        # ~1e5 km values by ~1e-11 km, far below the mm-level budget)
-        p_off = (a0 + a_dot)[..., None] * d_bf0 - rot_o_t
-        dot_a = fm.dot3(p_off, p_off)  # |near point - observer ray|^2, f64
-        off = p_off + (rot_o_t - rot0 @ anchors['subpoint_obsvec'])
+        # (a0 + a_dot) * (rm0 + rdd) = (a0 + a_dot) * d_bf0 - three ds
+        # multiplies per pixel instead of nine. The 1e9 - 1e9 -> 1e5 km
+        # cancellation rounds at ~2^-49 of the large terms (~2e-6 km),
+        # inside both the 0.1 km LIMB-DISTANCE atol and the 61 m lon/lat
+        # lateral budget.
+        t_d = ds.add(a_dot_d, ds.from_f64(a0))
+        p_off_d = [
+            ds.sub(ds.mul(t_d, dbf0_d[i]), rot_ot_d[i]) for i in range(3)
+        ]
+        dot_a_d = _ds_dot3(ds, p_off_d, p_off_d)
+        c_off = rot_o_t - rot0 @ anchors['subpoint_obsvec']
+        off_d = [
+            ds.add(p_off_d[i], ds.from_f64(c_off[i])) for i in range(3)
+        ]
         # |(-subpoint_rayvec) + off| - subpoint_distance, cancellation-free:
         # (2 A.off + |off|^2) / (|A + off| + |A|) with |A| = sp_dist
         # Light-time retiming (dtau_l) only rotates the ~1e5 km offset by
         # ~ omega * dtau_l ~ 5 km, so the whole retiming chain and the
         # rotation *correction* need ~1% relative accuracy for the 61 m
-        # limb lon/lat budget: f32 carries both. Only the constant-matrix
-        # rot0 base stays f64 (it positions the point itself).
-        off32 = off.astype(f32)
+        # limb lon/lat budget: f32 (the ds hi words) carries both.
+        off32 = jnp.stack([ds.hi(v) for v in off_d], axis=-1)
         spr32 = (rot0 @ (-anchors['subpoint_rayvec'])).astype(f32)
         amo32 = fm.dot3(jnp.broadcast_to(spr32, off32.shape), off32)
         num_l32 = 2.0 * amo32 + fm.dot3(off32, off32)
@@ -1028,30 +1139,35 @@ def _mixed_impl_fn(
             dtau_l32[..., None] * _matvec(r1r0t_32, off32)
             + (dtau_l32 * dtau_l32)[..., None] * _matvec(r2hr0t_32, off32)
         )
-        near_targvec = (
-            anchors['subpoint_targvec']
-            + off
-            + corr_l.astype(jnp.float64)
-        )
-        nt_scaled = near_targvec * inv_radii
-        ss_l = fm.dot3(nt_scaled, nt_scaled)
-        # dot_b = |near|^2 / |near scaled|^2: one Newton reciprocal
-        # instead of the rsqrt64 + two-mult square (the rsqrt's only other
-        # consumer, the unit direction below, is f32)
-        dot_b = fm.dot3(near_targvec, near_targvec) * fm.recip64(ss_l)
+        spt_c = anchors['subpoint_targvec']
+        near_d = [
+            ds.add_f(
+                ds.add(off_d[i], ds.from_f64(spt_c[i])), corr_l[..., i]
+            )
+            for i in range(3)
+        ]
+        nt_d = [
+            ds.mul(near_d[i], ds.from_f64(inv_radii[i])) for i in range(3)
+        ]
+        ss_d = _ds_dot3(ds, nt_d, nt_d)
+        # dot_b = |near|^2 / |near scaled|^2: one ds Newton reciprocal
+        dot_b_d = ds.mul(_ds_dot3(ds, near_d, near_d), ds.recip(ss_d))
         # geodetic conversion in f32 (direction only: ~4e-3 km lateral
         # rounding of the ~7e4 km point is ~4e-6 deg, well inside the
-        # 5e-5 deg contract); LIMB-DISTANCE below keeps the f64 chain
-        near32 = near_targvec.astype(f32)
-        scale32 = lax.rsqrt(ss_l.astype(f32))
-        lx = near32[..., 0] * scale32
-        ly = near32[..., 1] * scale32
-        lz = near32[..., 2] * scale32
+        # 5e-5 deg contract); LIMB-DISTANCE below keeps the ds chain
+        scale32 = lax.rsqrt(ds.hi(ss_d))
+        lx = ds.hi(near_d[0]) * scale32
+        ly = ds.hi(near_d[1]) * scale32
+        lz = ds.hi(near_d[2]) * scale32
         lrho = jnp.sqrt(lx * lx + ly * ly)
         limb_lon_e = jnp.arctan2(ly, lx).astype(jnp.float64)
         if robust_geodetic:
+            near_targvec = jnp.stack(
+                [ds.to_f64(near_d[i]) for i in range(3)], axis=-1
+            )
             _lon_u, limb_lat, _alt_u = geom.rect_to_geodetic(
-                near_targvec * fm.rsqrt64(ss_l)[..., None], re, flattening
+                near_targvec * fm.rsqrt64(ds.to_f64(ss_d))[..., None],
+                re, flattening,
             )
         else:
             lw = lrho * omf_l
@@ -1065,42 +1181,58 @@ def _mixed_impl_fn(
             ).astype(jnp.float64)
         out['LIMB-LON-GRAPHIC'] = _mod360(lon_sign * limb_lon_e * (1.0 / DEG))
         out['LIMB-LAT-GRAPHIC'] = limb_lat * (1.0 / DEG)
-        # |A| - |B| as (|A|^2 - |B|^2)/(|A| + |B|): the squared norms are
-        # exact f64 dots (no sqrt chains), the denominator only needs f32
-        # relative accuracy, and the cancellation sits in the f64 subtract
-        den_l = jnp.sqrt(dot_a.astype(f32)) + jnp.sqrt(dot_b.astype(f32))
-        out['LIMB-DISTANCE'] = (dot_a - dot_b) * (
-            1.0 / den_l
-        ).astype(jnp.float64)
+        # |A| - |B| as (|A|^2 - |B|^2)/(|A| + |B|), all in ds: the
+        # cancellation sits in the exact ds subtract, and keeping the
+        # sqrt/recip tail in ds leaves the f32 output cast as the only
+        # rounding of the result (a chain of separate f32 steps here
+        # accumulated past the 2e-7 relative contract)
+        den_d = ds.add(ds.sqrt(dot_a_d), ds.sqrt(dot_b_d))
+        out['LIMB-DISTANCE'] = ds.to_f64(
+            ds.mul(ds.sub(dot_a_d, dot_b_d), ds.recip(den_d))
+        )
 
-        # ------- ring plane -------------------------------------------------
+        # ------- ring plane (double-single for the cancelling chains) ------
         rn = anchors['ring_plane_normal']
         rot_rn = rot0 @ rn
-        denom_r = jnp.dot(rn, m0) + fm.dot3(
-            jnp.broadcast_to(rot_rn, rdd.shape), rdd
+        rot_rn_d = [ds.from_f64(rot_rn[i]) for i in range(3)]
+        denom_d = ds.add(
+            _ds_dot3(ds, rot_rn_d, rdd_d), ds.from_f64(jnp.dot(rn, m0))
         )
+        denom_r = ds.to_f64(denom_d)
         in_plane = (jnp.abs(denom_r) == 0.0) & (
             jnp.abs(anchors['ring_plane_constant']) == 0.0
         )
         parallel = (jnp.abs(denom_r) == 0.0) & ~in_plane
-        denom_safe = jnp.where(
-            jnp.abs(denom_r) > 1e-30, denom_r,
-            jnp.where(denom_r < 0.0, -1e-30, 1e-30),
+        safe = jnp.abs(denom_r) > 1e-30
+        denom_safe_d = (
+            jnp.where(
+                safe, denom_d[0],
+                jnp.where(denom_r < 0.0, f32(-1e-30), f32(1e-30)),
+            ),
+            jnp.where(safe, denom_d[1], f32(0.0)),
         )
-        s_r = anchors['ring_plane_constant'] * fm.recip64(denom_safe)
+        s_r_d = ds.mul(
+            ds.from_f64(anchors['ring_plane_constant']),
+            ds.recip(denom_safe_d),
+        )
+        s_r = ds.to_f64(s_r_d)
         ring_ok = (~parallel) & (~in_plane) & (s_r >= 0.0)
-        # intercept relative to the subpoint (f64: the ~1e-16 relative
-        # rounding of the big intermediate is ~1e-7 km, far below
-        # tolerance), in the rot0 frame: rot0 @ d_j is d_bf0, so the
-        # body-frame form costs the same mults and drops the per-pixel
-        # (3,3) retargeting-rotation build below to two constant matvecs
-        off_r = s_r[..., None] * d_bf0 - rot0 @ anchors['subpoint_obsvec']
-        # f32 from here: ``off_r`` was formed in f64 (the 1e9 - 1e9 -> 1e5
-        # km cancellation demands it) but the retiming chain, rotation
-        # retargeting and geodetic conversion of the ~1e5 km recentred
-        # values round at ~0.01 km - well under the 0.11 km RING-LON
-        # angle budget
-        off_r32 = off_r.astype(f32)
+        # intercept relative to the subpoint, in the rot0 frame: rot0 @
+        # d_j is d_bf0, so the body-frame form costs the same mults and
+        # drops the per-pixel (3,3) retargeting-rotation build below to
+        # two constant matvecs. ``off_r`` is formed in ds (the
+        # 1e9 - 1e9 -> 1e5 km cancellation demands better than f32); the
+        # retiming chain, rotation retargeting and geodetic conversion of
+        # the ~1e5 km recentred values round at ~0.01 km - well under the
+        # 0.11 km RING-LON angle budget - so they run on the f32 hi words
+        rso_c = rot0 @ anchors['subpoint_obsvec']
+        off_r32 = jnp.stack(
+            [
+                ds.hi(ds.sub(ds.mul(s_r_d, dbf0_d[i]), ds.from_f64(rso_c[i])))
+                for i in range(3)
+            ],
+            axis=-1,
+        )
         amo_r = fm.dot3(jnp.broadcast_to(spr32, off_r32.shape), off_r32)
         num_r = 2.0 * amo_r + fm.dot3(off_r32, off_r32)
         r1_r = num_r / (2.0 * spd32)
@@ -1112,6 +1244,15 @@ def _mixed_impl_fn(
             + (dtau_r32 * dtau_r32)[..., None]
             * _matvec(r2hr0t_32, off_r32)
         )
+        if os.environ.get('PLANETMAPPER_TPU_DSDBG') == '1':
+            out['__DBG_RTV0__'] = ring_targvec[..., 0].astype(jnp.float64)
+            out['__DBG_RTV1__'] = ring_targvec[..., 1].astype(jnp.float64)
+            out['__DBG_RTV2__'] = ring_targvec[..., 2].astype(jnp.float64)
+            out['__DBG_OFFR0__'] = off_r32[..., 0].astype(jnp.float64)
+            out['__DBG_OFFR1__'] = off_r32[..., 1].astype(jnp.float64)
+            out['__DBG_OFFR2__'] = off_r32[..., 2].astype(jnp.float64)
+            out['__DBG_SR__'] = s_r
+            out['__DBG_DTAUR__'] = dtau_r32.astype(jnp.float64)
         rx32 = ring_targvec[..., 0]
         ry32 = ring_targvec[..., 1]
         rz32 = ring_targvec[..., 2]
@@ -1166,173 +1307,6 @@ def _mixed_impl_fn(
         return out
 
     return impl
-
-
-#: Row granularity of the conditional f64 azimuth repair within a band.
-_AZ_REPAIR_ROWS = int(os.environ.get('PLANETMAPPER_TPU_AZ_ROWS', '32'))
-
-
-def _azimuth_repair_f64(
-    az32, need, dtau, spoint, anchors, targ_rel0, targ_vel0, inv_radii,
-    tau0,
-):
-    """
-    Exact f64 azimuth for the ill-conditioned pixels of the f32 pipeline.
-
-    The f32 dihedral-projection azimuth loses relative accuracy where
-    sin(incidence) or sin(emission) is small. Grids (row bands in the
-    tiled pipeline) containing any such pixel recompute the azimuth with
-    the full f64 vector assembly and the reference arccos formula, blended
-    in with ``where``; bands away from the sub-solar/sub-observer caps
-    skip the recompute entirely via ``lax.cond``.
-    """
-    import jax.numpy as jnp
-    from jax import lax
-
-    from .ops import fastmath as fm
-
-    rot0 = anchors['rot0']
-    rot1 = anchors['rot1']
-    rot2h = 0.5 * anchors['rot2']
-
-    def az64_at(dtau_k, spoint_k):
-        # Factored rotation (see the intercept section): constant-matrix
-        # f64 base + dtau-scaled f32 corrections, instead of a per-pixel
-        # (3,3) f64 rotation build. The corrections are ~1e-4 relative,
-        # so their f32 rounding perturbs the unit vectors at ~1e-11 -
-        # orders below what the arccos conditioning needs here.
-        #
-        # Normalisation-free dihedral: with raw (unnormalised) sun s,
-        # observer o and normal n vectors, the arccos argument
-        # (cos p - cos e cos i) / (sin e sin i) rewrites exactly as
-        #   [(s.o)(n.n) - (n.o)(n.s)] / sqrt(((n.n)(o.o) - (n.o)^2)
-        #                                    ((n.n)(s.s) - (n.s)^2))
-        # - six f64 dots and one Newton rsqrt replace the three f64
-        # normalisations + sqrt + reciprocal of the unit-vector form.
-        # Conditioning is unchanged: (n.n)(o.o) - (n.o)^2 =
-        # |n|^2|o|^2 sin^2 e carries the same eps/sin^2 relative rounding
-        # the 1 - cos^2 e subtraction did.
-        f32_ = jnp.float32
-        dt32 = dtau_k.astype(f32_)
-        sp32_k = spoint_k.astype(f32_)
-        corr_p = (
-            dt32[..., None] * _matvec(rot1.T.astype(f32_), sp32_k)
-            + (dt32 * dt32)[..., None]
-            * _matvec(rot2h.T.astype(f32_), sp32_k)
-        )
-        point_j = _const_matvec(rot0.T, spoint_k) + corr_p.astype(
-            jnp.float64
-        )
-        o_vec = -(targ_rel0 + targ_vel0 * dtau_k[..., None] + point_j)
-        point_ssb = (
-            anchors['targ_pos0'] + targ_vel0 * dtau_k[..., None] + point_j
-        )
-        sun_off32 = (anchors['sun_pos0'] - point_ssb).astype(jnp.float32)
-        lt_s = jnp.sqrt(fm.dot3(sun_off32, sun_off32)).astype(
-            jnp.float64
-        ) * (1.0 / CLIGHT)
-        sun_dtau = (tau0 - anchors['sun_epoch0']) + dtau_k - lt_s
-        s_vec = (
-            anchors['sun_pos0']
-            + anchors['sun_vel0'] * sun_dtau[..., None]
-            - point_ssb
-        )
-        n_raw = spoint_k * (inv_radii * inv_radii)
-        corr_n = (
-            dt32[..., None]
-            * _matvec(rot1.T.astype(f32_), n_raw.astype(f32_))
-            + (dt32 * dt32)[..., None]
-            * _matvec(rot2h.T.astype(f32_), n_raw.astype(f32_))
-        )
-        n_vec = _const_matvec(rot0.T, n_raw) + corr_n.astype(jnp.float64)
-        so = fm.dot3(s_vec, o_vec)
-        nn = fm.dot3(n_vec, n_vec)
-        ns = fm.dot3(n_vec, s_vec)
-        no = fm.dot3(n_vec, o_vec)
-        oo = fm.dot3(o_vec, o_vec)
-        ss = fm.dot3(s_vec, s_vec)
-        num = so * nn - no * ns
-        den2 = (nn * oo - no * no) * (nn * ss - ns * ns)
-        # Clamp inside the f32-seed range of rsqrt64 (f32 underflows at
-        # ~1e-38); degenerate den2 means the pixel sits exactly on a
-        # sub-point where the dihedral is undefined anyway (clip decides)
-        arg = num * fm.rsqrt64(jnp.maximum(den2, 1e-30))
-        return (
-            jnp.pi - jnp.arccos(jnp.clip(arg, -1.0, 1.0))
-        ) * (1.0 / DEG)
-
-    # The blend stays in f32: every consumer (the f32 output planes)
-    # rounds to f32 anyway - what the repair fixes is the f32
-    # *computation* error of the dihedral, not the representation.
-    az = az32
-
-    nx = az.shape[-1] if az.ndim == 2 else 0
-    # Column windowing: the caps are compact in x as well as y, so a
-    # triggered chunk evaluates the dense f64 dihedral only on a static
-    # W-column window dynamically positioned over the need pixels, with
-    # an exact full-width fallback when they span wider (e.g. an
-    # extremely zoomed disc). Cuts the dense f64 work ~nx/W-fold.
-    win = 512 if (nx >= 1024 and nx % 512 == 0) else 0
-
-    def chunk(args):
-        az_c, need_c, dtau_c, spoint_c = args
-
-        def repair_full(_):
-            return jnp.where(
-                need_c,
-                az64_at(dtau_c, spoint_c).astype(jnp.float32),
-                az_c,
-            )
-
-        if not win:
-            return lax.cond(
-                jnp.any(need_c), repair_full, lambda _: az_c, operand=None
-            )
-
-        col_has = jnp.any(need_c, axis=0)
-        idx = jnp.arange(nx)
-        first = jnp.min(jnp.where(col_has, idx, nx))
-        last = jnp.max(jnp.where(col_has, idx, -1))
-        start = jnp.clip(first, 0, nx - win)
-        fits = (last - start) < win
-
-        def repair_window(_):
-            def sl(v):
-                return lax.dynamic_slice_in_dim(v, start, win, axis=1)
-
-            az_w = jnp.where(
-                sl(need_c),
-                az64_at(sl(dtau_c), sl(spoint_c)).astype(jnp.float32),
-                sl(az_c),
-            )
-            return lax.dynamic_update_slice_in_dim(az_c, az_w, start, axis=1)
-
-        def dispatch(_):
-            return lax.cond(fits, repair_window, repair_full, operand=None)
-
-        return lax.cond(
-            jnp.any(need_c), dispatch, lambda _: az_c, operand=None
-        )
-
-    # The caller's grid unit is one row band (see get_fused_pipeline);
-    # the conditional repair runs per 32-row chunk within it, so only the
-    # rows actually crossing the sub-solar/sub-observer caps (where
-    # sin(i) or sin(e) is small) pay the f64 recompute - the caps span
-    # ~0.15 rad of disc radius, a small fraction of a 256-row band.
-    rows = az.shape[0] if az.ndim == 2 else 0
-    if rows and rows % _AZ_REPAIR_ROWS == 0 and rows > _AZ_REPAIR_ROWS:
-        n_c = rows // _AZ_REPAIR_ROWS
-
-        def to_chunks(v):
-            return v.reshape((n_c, _AZ_REPAIR_ROWS) + v.shape[1:])
-
-        out = lax.map(
-            chunk,
-            (to_chunks(az), to_chunks(need), to_chunks(dtau),
-             to_chunks(spoint)),
-        )
-        return out.reshape(az.shape)
-    return chunk((az, need, dtau, spoint))
 
 
 def _mod360(x):

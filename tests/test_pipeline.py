@@ -107,15 +107,11 @@ class TestFusedPipeline:
         body.set_disc_params(7, 5.5, 4.5, 30.0)
         _compare(body)
 
-    def test_matches_exact_chunked_azimuth_repair(self):
-        # 96 rows (a shape bucket, divisible by the 32-row repair chunk)
-        # with the disc filling the frame: the sub-solar/sub-observer
-        # caps land in specific chunks, so the conditional f64 azimuth
-        # repair exercises its per-chunk lax.map path (tiny grids take
-        # the single-cond fallback)
-        from planetmapper_tpu import pipeline
-
-        assert 96 % pipeline._AZ_REPAIR_ROWS == 0
+    def test_matches_exact_full_disc_with_caps(self):
+        # Disc filling the frame: the sub-solar/sub-observer caps (where
+        # sin(incidence)/sin(emission) -> 0 and the azimuth projections
+        # cancel catastrophically) are on-disc, exercising the
+        # double-single azimuth path against the exact f64 pipeline
         body = BodyXY('Jupiter', utc='2005-01-01', nx=96, ny=96)
         body.set_disc_params(48, 48, 40, 10.0)
         _compare(body)
