@@ -200,6 +200,49 @@ def _const_matvec(m, v):
     )
 
 
+def _mm33(a, b):
+    """
+    (3,3) @ (3,3) as explicit scalar mul/adds. Even *scalar-shaped* f64
+    ``dot_general``/``@`` products lower on TPU to software wide-
+    accumulation while-loops with ~50 us fixed overhead EACH - and the
+    band ``lax.map`` re-executes them per band (XLA does not hoist
+    loop-invariant calls out of the while body), so a handful of tiny
+    scene-constant matmuls cost milliseconds per frame. Unrolled they
+    fuse into the elementwise graph for free.
+    """
+    import jax.numpy as jnp
+
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    a[i, 0] * b[0, j] + a[i, 1] * b[1, j]
+                    + a[i, 2] * b[2, j]
+                    for j in range(3)
+                ]
+            )
+            for i in range(3)
+        ]
+    )
+
+
+def _mv3(m, v):
+    """(3,3) @ (3,) unrolled; see :func:`_mm33` for why."""
+    import jax.numpy as jnp
+
+    return jnp.stack(
+        [
+            m[i, 0] * v[0] + m[i, 1] * v[1] + m[i, 2] * v[2]
+            for i in range(3)
+        ]
+    )
+
+
+def _vdot3(a, b):
+    """(3,) . (3,) unrolled; see :func:`_mm33` for why."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
 def pick_ds():
     """
     Select the extended-precision backend for the pipeline's cancelling
@@ -593,7 +636,7 @@ def _mixed_impl_fn(
         targ_rel0 = anchors['targ_pos0'] - anchors['obs_pos']
         targ_vel0 = anchors['targ_vel0']
         o_j = -targ_rel0  # ray origin (observer) relative to target centre
-        t_ca0 = jnp.dot(targ_rel0, m0)  # closest-approach dist, boresight
+        t_ca0 = _vdot3(targ_rel0, m0)  # closest-approach dist, boresight
         q0 = o_j + t_ca0 * m0  # closest-approach offset, boresight
         inv_radii = 1.0 / radii
         sp_dist = anchors['subpoint_distance']
@@ -664,7 +707,7 @@ def _mixed_impl_fn(
         # (rot0 @ q_j, rot0 @ d_j) the J2000 formulation paid. J2000
         # quantities (RA/Dec rays, illumination vectors) tolerate f32
         # and are rebuilt cheaply below.
-        rc = rot0 @ m_ang.T  # columns: rot0 @ m_ang[i, :]
+        rc = _mm33(rot0, m_ang.T)  # columns: rot0 @ m_ang[i, :]
         rdd = jnp.stack(
             [
                 dvx * rc[0, 0] + dvy * rc[0, 1] + dvz * rc[0, 2],
@@ -673,8 +716,8 @@ def _mixed_impl_fn(
             ],
             axis=-1,
         )  # rot0 @ dd (f64)
-        rm0 = rot0 @ m0  # rot0 @ boresight
-        rrel0 = rot0 @ targ_rel0
+        rm0 = _mv3(rot0, m0)  # rot0 @ boresight
+        rrel0 = _mv3(rot0, targ_rel0)
         tp = fm.dot3(jnp.broadcast_to(rrel0, rdd.shape), rdd)  # t_ca - t0
         # delta-ray in J2000, f32 (feeds RA/Dec and the f32 sun/observer
         # direction algebra only)
@@ -714,24 +757,24 @@ def _mixed_impl_fn(
         # over the q_j = q0 + (t_ca0 + tp) dd + tp m0 decomposition into
         # precomputed rotated constants and the rdd field built above
         q_bf0 = (
-            rot0 @ q0
+            _mv3(rot0, q0)
             + (t_ca0 + tp)[..., None] * rdd
             + tp[..., None] * rm0
         )
         d_bf0 = rm0 + rdd
         # rot1/rot2h act on J2000 vectors; against body-frame operands
         # they become the constant products rot_k @ rot0^T
-        r1r0t_32 = (rot1 @ rot0.T).astype(f32)
-        r2hr0t_32 = (rot2h @ rot0.T).astype(f32)
+        r1r0t_32 = _mm33(rot1, rot0.T).astype(f32)
+        r2hr0t_32 = _mm33(rot2h, rot0.T).astype(f32)
         q_b32 = q_bf0.astype(f32)
         d_b32 = d_bf0.astype(f32)
         r1q = _matvec(r1r0t_32, q_b32)  # f32 correction ingredients, once
         r2q = _matvec(r2hr0t_32, q_b32)
         r1d = _matvec(r1r0t_32, d_b32)
         r2d = _matvec(r2hr0t_32, d_b32)
-        rv0_32 = (rot0 @ targ_vel0).astype(f32)  # epoch-rate constants
-        rv1_32 = (rot1 @ targ_vel0).astype(f32)
-        rv2h_32 = (rot2h @ targ_vel0).astype(f32)
+        rv0_32 = _mv3(rot0, targ_vel0).astype(f32)  # epoch-rate constants
+        rv1_32 = _mv3(rot1, targ_vel0).astype(f32)
+        rv2h_32 = _mv3(rot2h, targ_vel0).astype(f32)
 
         def _corrs(dt32):
             dt2 = dt32 * dt32
@@ -994,13 +1037,13 @@ def _mixed_impl_fn(
         if have_sun:
             c_s_j = anchors['sun_pos0'] - anchors['targ_pos0']
             c_o_j = -targ_rel0
-            cs_bf = rot0 @ c_s_j
-            co_bf = rot0 @ c_o_j
-            r1_s = (rot1 @ c_s_j).astype(f32)
-            r2_s = (rot2h @ c_s_j).astype(f32)
-            r1_o = (rot1 @ c_o_j).astype(f32)
-            r2_o = (rot2h @ c_o_j).astype(f32)
-            rsv0_32 = (rot0 @ anchors['sun_vel0']).astype(f32)
+            cs_bf = _mv3(rot0, c_s_j)
+            co_bf = _mv3(rot0, c_o_j)
+            r1_s = _mv3(rot1, c_s_j).astype(f32)
+            r2_s = _mv3(rot2h, c_s_j).astype(f32)
+            r1_o = _mv3(rot1, c_o_j).astype(f32)
+            r2_o = _mv3(rot2h, c_o_j).astype(f32)
+            rsv0_32 = _mv3(rot0, anchors['sun_vel0']).astype(f32)
             dt2_32 = dtau32 * dtau32
             s_v, o_v, n_v = [], [], []
             for i in range(3):
@@ -1100,12 +1143,12 @@ def _mixed_impl_fn(
         # ds (hi, lo) f32-pair math (:mod:`..ops.ds`): the emulated-f64
         # chain this replaces cost ~7 ms of the 2048^2 frame.
         o_t = anchors['target_obsvec']
-        rot_o_t = rot0 @ o_t
+        rot_o_t = _mv3(rot0, o_t)
         rdd_d = _ds_split3(ds, rdd)
         dbf0_d = _ds_split3(ds, d_bf0)
         rot_ot_d = [ds.from_f64(rot_o_t[i]) for i in range(3)]
         a_dot_d = _ds_dot3(ds, rot_ot_d, rdd_d)
-        a0 = jnp.dot(o_t, m0)  # scalar (rotation-invariant)
+        a0 = _vdot3(o_t, m0)  # scalar (rotation-invariant)
         # near - o_t, assembled from small recentred terms (~1e5 km).
         # a0*rm0 + a0*rdd + a_dot*rm0 + a_dot*rdd factors exactly as
         # (a0 + a_dot) * (rm0 + rdd) = (a0 + a_dot) * d_bf0 - three ds
@@ -1118,7 +1161,7 @@ def _mixed_impl_fn(
             ds.sub(ds.mul(t_d, dbf0_d[i]), rot_ot_d[i]) for i in range(3)
         ]
         dot_a_d = _ds_dot3(ds, p_off_d, p_off_d)
-        c_off = rot_o_t - rot0 @ anchors['subpoint_obsvec']
+        c_off = rot_o_t - _mv3(rot0, anchors['subpoint_obsvec'])
         off_d = [
             ds.add(p_off_d[i], ds.from_f64(c_off[i])) for i in range(3)
         ]
@@ -1129,7 +1172,7 @@ def _mixed_impl_fn(
         # rotation *correction* need ~1% relative accuracy for the 61 m
         # limb lon/lat budget: f32 (the ds hi words) carries both.
         off32 = jnp.stack([ds.hi(v) for v in off_d], axis=-1)
-        spr32 = (rot0 @ (-anchors['subpoint_rayvec'])).astype(f32)
+        spr32 = _mv3(rot0, -anchors['subpoint_rayvec']).astype(f32)
         amo32 = fm.dot3(jnp.broadcast_to(spr32, off32.shape), off32)
         num_l32 = 2.0 * amo32 + fm.dot3(off32, off32)
         spd32 = sp_dist.astype(f32)
@@ -1193,10 +1236,10 @@ def _mixed_impl_fn(
 
         # ------- ring plane (double-single for the cancelling chains) ------
         rn = anchors['ring_plane_normal']
-        rot_rn = rot0 @ rn
+        rot_rn = _mv3(rot0, rn)
         rot_rn_d = [ds.from_f64(rot_rn[i]) for i in range(3)]
         denom_d = ds.add(
-            _ds_dot3(ds, rot_rn_d, rdd_d), ds.from_f64(jnp.dot(rn, m0))
+            _ds_dot3(ds, rot_rn_d, rdd_d), ds.from_f64(_vdot3(rn, m0))
         )
         denom_r = ds.to_f64(denom_d)
         in_plane = (jnp.abs(denom_r) == 0.0) & (
@@ -1225,7 +1268,7 @@ def _mixed_impl_fn(
         # retiming chain, rotation retargeting and geodetic conversion of
         # the ~1e5 km recentred values round at ~0.01 km - well under the
         # 0.11 km RING-LON angle budget - so they run on the f32 hi words
-        rso_c = rot0 @ anchors['subpoint_obsvec']
+        rso_c = _mv3(rot0, anchors['subpoint_obsvec'])
         off_r32 = jnp.stack(
             [
                 ds.hi(ds.sub(ds.mul(s_r_d, dbf0_d[i]), ds.from_f64(rso_c[i])))
