@@ -14,7 +14,11 @@ if 'xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
+# PLANETMAPPER_TPU_TEST_BACKEND=tpu keeps the real accelerator visible
+# (used to run the hardware-only tests, e.g. the Pallas Mosaic suite:
+# ``PLANETMAPPER_TPU_TEST_BACKEND=tpu pytest tests/test_pallas_core.py``).
+if os.environ.get('PLANETMAPPER_TPU_TEST_BACKEND', 'cpu') == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
 
 import planetmapper_tpu  # noqa: E402  (configures the compile cache)
 

@@ -1,0 +1,224 @@
+"""
+Pallas TPU kernel tests: double-single EFT survival under Mosaic, the
+polynomial inverse-trig accuracy, and full-plane parity of the
+single-kernel pipeline against the XLA mixed pipeline.
+
+The real-hardware assertions (EFT lo-word grade, 2048-class parity)
+need a TPU backend and auto-skip on the CPU test environment; the
+structural pieces (coefficient accuracy, builder validation) run
+everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from common import setup_kernels
+
+setup_kernels()
+
+
+def _tpu_available() -> bool:
+    import jax
+
+    return jax.default_backend() not in ('cpu',)
+
+
+requires_tpu = pytest.mark.skipif(
+    not _tpu_available(), reason='needs a TPU backend (Pallas Mosaic)'
+)
+
+
+class TestDskHost:
+    """Pieces checkable without hardware (pure-numpy / XLA:CPU)."""
+
+    def test_atan_poly_accuracy_f64(self):
+        # the coefficient set itself (evaluated in f64) is ~1e-9 grade
+        from planetmapper_tpu.ops.dsk import _ATAN_C
+
+        t = np.linspace(1e-9, 1.0, 200001)
+        s = t * t
+        p = np.zeros_like(s)
+        for c in _ATAN_C[::-1]:
+            p = p * s + c
+        err = np.max(np.abs(t + t * s * p - np.arctan(t)))
+        assert err < 5e-9
+
+    def test_const_split_exact(self):
+        from planetmapper_tpu.ops import dsk
+
+        hi, lo = dsk.const(np.pi)
+        assert float(np.float64(hi) + np.float64(lo)) == pytest.approx(
+            np.pi, abs=2e-14  # lo itself rounds at ulp(lo)/2 ~ 7e-15
+        )
+        assert abs(float(lo)) <= np.spacing(np.float32(np.pi)) / 2
+
+    def test_builder_rejects_unaligned(self):
+        import jax
+
+        from planetmapper_tpu.ops.pallas_pipeline import (
+            build_pallas_pipeline,
+        )
+
+        impl = build_pallas_pipeline(
+            positive_west=True, prograde=True, have_sun=True,
+            optimize_speed=False, lst_quant=True,
+        )
+        with pytest.raises(ValueError):
+            jax.eval_shape(
+                lambda: impl(100, 100, np.eye(3), np.zeros(4),
+                             np.ones(3), {})
+            )
+
+
+@requires_tpu
+class TestDskOnTpu:
+    """EFT arithmetic grade inside a real Mosaic kernel."""
+
+    def _run_pairs(self, fn, a64, b64):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from planetmapper_tpu.ops import dsk
+
+        shape = (8, a64.size // 8)
+        ins = []
+        for v in (a64, b64):
+            h, lo = dsk.split_f64(jnp.asarray(v))
+            ins += [np.asarray(h).reshape(shape),
+                    np.asarray(lo).reshape(shape)]
+
+        def kernel(ah, al, bh, bl, o1, o2):
+            r = fn((ah[:], al[:]), (bh[:], bl[:]))
+            o1[:], o2[:] = r
+
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct(shape, jnp.float32)] * 2,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        )(*[jnp.asarray(v) for v in ins])
+        return (np.asarray(outs[0], np.float64)
+                + np.asarray(outs[1], np.float64)).ravel()
+
+    def test_mul_div_sqrt_grade(self):
+        from planetmapper_tpu.ops import dsk
+
+        rng = np.random.default_rng(0)
+        n = 8 * 1024
+        a = rng.normal(size=n) * 1e9
+        b = rng.normal(size=n) * 1e9 + a
+
+        got = self._run_pairs(lambda A, B: dsk.mul(A, B), a, b)
+        assert np.max(np.abs(got - a * b) / np.abs(a * b)) < 1e-13
+        got = self._run_pairs(lambda A, B: dsk.div(A, B), a, b)
+        assert np.max(np.abs(got - a / b) / np.abs(a / b)) < 1e-13
+        got = self._run_pairs(
+            lambda A, B: dsk.sqrt(dsk.add(dsk.sqr(A), dsk.sqr(B))), a, b
+        )
+        ref = np.sqrt(a * a + b * b)
+        assert np.max(np.abs(got - ref) / ref) < 1e-13
+
+    def test_atan2_ds_grade(self):
+        from planetmapper_tpu.ops import dsk
+
+        rng = np.random.default_rng(1)
+        n = 8 * 1024
+        x = rng.normal(size=n)
+        y = rng.normal(size=n)
+        got = self._run_pairs(lambda Y, X: dsk.atan2_ds(Y, X), y, x)
+        ref = np.arctan2(y, x)
+        # absolute angle grade ~2^-40 rad (ds polynomial + reduction)
+        assert np.max(np.abs(got - ref)) < 5e-12
+
+    def test_atan2_f32_grade(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from planetmapper_tpu.ops import dsk
+
+        rng = np.random.default_rng(2)
+        shape = (8, 1024)
+        x = rng.normal(size=shape).astype(np.float32)
+        y = rng.normal(size=shape).astype(np.float32)
+
+        def kernel(xr, yr, o):
+            o[:] = dsk.atan2(yr[:], xr[:])
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(jnp.asarray(x), jnp.asarray(y))
+        ref = np.arctan2(y.astype(np.float64), x.astype(np.float64))
+        assert np.max(np.abs(np.asarray(out, np.float64) - ref)) < 5e-7
+
+
+@requires_tpu
+class TestPallasPipelineParity:
+    """All 26 planes vs the XLA mixed pipeline on real hardware."""
+
+    def test_full_plane_parity(self):
+        import jax
+
+        from planetmapper_tpu import BodyXY
+        from planetmapper_tpu.ops.pallas_pipeline import (
+            PLANE_ORDER,
+            build_pallas_pipeline,
+        )
+        from planetmapper_tpu.pipeline import compute_backplanes
+
+        size = 512
+        body = BodyXY(
+            'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00',
+            sz=size,
+        )
+        body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
+        ref = compute_backplanes(body, as_numpy=True)
+        impl = build_pallas_pipeline(
+            positive_west=body.positive_longitude_direction == 'W',
+            prograde=body.prograde,
+            have_sun=body._engine._pos_s is not None,
+            optimize_speed=bool(body._optimize_speed),
+            lst_quant=True,
+        )
+        anchors = body._get_pipeline_anchors()
+        out = jax.jit(lambda *a: impl(size, size, *a))(
+            np.asarray(body._get_xy2angular_matrix()),
+            np.asarray(body.get_disc_params(), dtype=np.float64),
+            np.asarray(body.radii, dtype=np.float64),
+            anchors,
+        )
+        # absolute tolerances per plane kind: f32 output storage rounds
+        # at ~value * 6e-8 (3e-5 at 360 deg); boundary pixels may flip
+        # masks where a >= / < sits at the ds-vs-f64 noise floor
+        tol = {
+            'KM-X': 1e-6, 'KM-Y': 1e-6, 'ANGULAR-X': 1e-6,
+            'ANGULAR-Y': 1e-6, 'PIXEL-X': 0.0, 'PIXEL-Y': 0.0,
+            'DISTANCE': 1e-3, 'RADIAL-VELOCITY': 1e-6, 'DOPPLER': 1e-9,
+            'LIMB-DISTANCE': 0.02, 'RING-RADIUS': 1.0,
+            'RING-DISTANCE': 1e-3, 'LOCAL-SOLAR-TIME': 2.9e-4,
+        }
+        for name in PLANE_ORDER:
+            a = np.asarray(out[name], dtype=np.float64)
+            b = np.asarray(ref[name], dtype=np.float64)
+            both = np.isfinite(a) & np.isfinite(b)
+            n_mask = int(np.sum(np.isfinite(a) != np.isfinite(b)))
+            assert n_mask <= 8, f'{name}: {n_mask} mask flips'
+            assert both.any(), name
+            d = np.abs(a[both] - b[both])
+            atol = tol.get(name, 1e-4)  # angles: deg
+            if name == 'LOCAL-SOLAR-TIME':
+                # sub-ulp representation noise aside, allow at most a
+                # few 1-second quantization bin flips (half-bin = flip)
+                flips = int(np.sum(d > 0.5 / 3600.0))
+                assert flips <= 8, f'{name}: {flips} bin flips'
+                assert d.max() <= atol + 1e-9, f'{name}: {d.max()}'
+            else:
+                assert d.max() <= atol, f'{name}: {d.max():.3e}'
