@@ -60,7 +60,22 @@ jax.config.update('jax_enable_x64', True)
 # flow, but a no-op if the process already compiled something before
 # importing this package (harmless: the warnings return, nothing breaks).
 # Any user-provided xla_cpu_max_isa value is respected.
-if 'axon' in _os.environ.get('JAX_PLATFORMS', ''):
+def _axon_session() -> bool:
+    # The axon plugin registers itself via a .pth hook regardless of
+    # JAX_PLATFORMS, so presence of the package IS the signal; the env
+    # var check alone missed every default-environment session and the
+    # spurious loader errors returned.
+    if 'axon' in _os.environ.get('JAX_PLATFORMS', ''):
+        return True
+    try:
+        import importlib.util
+
+        return importlib.util.find_spec('axon') is not None
+    except (ImportError, ValueError):  # pragma: no cover
+        return False
+
+
+if _axon_session():
     _flags = _os.environ.get('XLA_FLAGS', '')
     if 'xla_cpu_max_isa' not in _flags:
         _os.environ['XLA_FLAGS'] = (

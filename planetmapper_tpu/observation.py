@@ -56,20 +56,43 @@ class Observation(BodyXY):
         header: fits.Header | None = None,
         **kwargs,
     ) -> None:
-        for k in ('nx', 'ny', 'sz'):
-            if k in kwargs:
-                raise TypeError(f'Cannot set {k} for Observation objects')
-
+        for forbidden in ('nx', 'ny', 'sz'):
+            if forbidden in kwargs:
+                raise TypeError(
+                    f'Cannot set {forbidden} for Observation objects'
+                )
         self._path_arg = path
         self._data_arg = data
         self._header_arg = header
-
-        if path is not None:
-            path = str(os.path.expandvars(os.path.expanduser(path)))
-
-        self.path: str | None = path
+        self.path: str | None = (
+            None if path is None
+            else str(os.path.expandvars(os.path.expanduser(path)))
+        )
         self.header: fits.Header = None  # type: ignore[assignment]
+        self._ingest_source(data, header)
+        if self.header is not None:
+            self._add_kw_from_header(kwargs, self.header)
+        ny, nx = self.data.shape[-2:]
+        if self.header is None:
+            # defer so self.target/utc exist for the card values
+            self.header = fits.Header()
+            super().__init__(nx=nx, ny=ny, **kwargs)
+            self.header = fits.Header(
+                {'OBJECT': self.target, 'DATE-OBS': self.utc}
+            )
+        else:
+            super().__init__(nx=nx, ny=ny, **kwargs)
+        # keep the saved constructor arguments consistent with the
+        # normalised attributes (repr/copy round-trips)
+        if self._data_arg is not None:
+            self._data_arg = self.data
+        if self._header_arg is not None:
+            self._header_arg = self.header
 
+    def _ingest_source(
+        self, data: np.ndarray | None, header: fits.Header | None
+    ) -> None:
+        """Populate self.data/self.header from the path or array input."""
         if self.path is None:
             if data is None:
                 raise ValueError('Either `path` or `data` must be provided')
@@ -77,35 +100,15 @@ class Observation(BodyXY):
             if header is not None:
                 self.header = header
         else:
-            if data is not None:
-                raise ValueError('`path` and `data` are mutually exclusive')
-            if header is not None:
-                raise ValueError('`path` and `header` are mutually exclusive')
+            for arg, name in ((data, 'data'), (header, 'header')):
+                if arg is not None:
+                    raise ValueError(
+                        f'`path` and `{name}` are mutually exclusive'
+                    )
             self._load_data_from_path()
-
         self.data = np.asarray(self.data)
-        if len(self.data.shape) == 2:
+        if self.data.ndim == 2:
             self.data = self.data[np.newaxis, ...]
-        if self.header is not None:
-            self._add_kw_from_header(kwargs, self.header)
-
-        _fill_in_header_later = self.header is None
-        if _fill_in_header_later:
-            self.header = fits.Header()
-
-        super().__init__(
-            nx=self.data.shape[-1], ny=self.data.shape[-2], **kwargs
-        )
-
-        if _fill_in_header_later:
-            self.header = fits.Header(
-                {'OBJECT': self.target, 'DATE-OBS': self.utc}
-            )
-
-        if self._data_arg is not None:
-            self._data_arg = self.data
-        if self._header_arg is not None:
-            self._header_arg = self.header
 
     def __repr__(self) -> str:
         return self._generate_repr(
@@ -131,31 +134,32 @@ class Observation(BodyXY):
         return new
 
     def _get_equality_tuple(self) -> tuple:
+        finite = np.nan_to_num(self.data)
+        nan_mask = np.isnan(self.data)
         return (
             self.path,
-            np.nan_to_num(self.data).data.tobytes(),
-            np.isnan(self.data).data.tobytes(),
+            finite.data.tobytes(),
+            nan_mask.data.tobytes(),
             tuple(self.header.items()),
             super()._get_equality_tuple(),
         )
 
     def _get_kwargs(self) -> dict[str, Any]:
-        kw = super()._get_kwargs() | dict(
+        kw = super()._get_kwargs()
+        del kw['nx'], kw['ny']
+        kw.update(
             path=self._path_arg,
             data=self._data_arg,
             header=self._header_arg,
         )
-        kw.pop('nx')
-        kw.pop('ny')
         return kw
 
     @classmethod
     def _get_default_init_kwargs(cls) -> dict[str, Any]:
-        super_defaults = super()._get_default_init_kwargs()
-        super_defaults.pop('nx')
-        super_defaults.pop('ny')
+        inherited = super()._get_default_init_kwargs()
+        del inherited['nx'], inherited['ny']
         return dict(
-            path=None, data=None, header=None, target=None, **super_defaults
+            path=None, data=None, header=None, target=None, **inherited
         )
 
     # ------------------------------------------------------------------
@@ -163,92 +167,83 @@ class Observation(BodyXY):
     # ------------------------------------------------------------------
     def _load_data_from_path(self) -> None:
         assert self.path is not None
-        if any(self.path.endswith(ext) for ext in self.FITS_FILE_EXTENSIONS):
-            self._load_fits_data()
-        else:
-            self._load_image_data()
+        is_fits = self.path.endswith(self.FITS_FILE_EXTENSIONS)
+        (self._load_fits_data if is_fits else self._load_image_data)()
 
     def _load_fits_data(self) -> None:
         assert self.path is not None
         with fits.open(self.path) as hdul:
-            for idx, hdu in enumerate(hdul):
-                if hdu.data is not None:
-                    data = hdu.data
-                    if idx:
-                        header = hdul[0].header.copy()
-                        header.update(hdu.header.copy())
-                    else:
-                        header = hdu.header.copy()
-                    break
-            else:
+            hdu_idx = next(
+                (i for i, h in enumerate(hdul) if h.data is not None), None
+            )
+            if hdu_idx is None:
                 raise ValueError('No data found in provided FITS file')
-
-        if len(data.shape) == 2:
-            data = np.array([data])
-        self.data = data
-        self.header = header
+            self.data = hdul[hdu_idx].data
+            if hdu_idx == 0:
+                self.header = hdul[0].header.copy()
+            else:
+                # merge: primary header as the base, data HDU overrides
+                merged = hdul[0].header.copy()
+                merged.update(hdul[hdu_idx].header.copy())
+                self.header = merged
+        if self.data.ndim == 2:
+            self.data = np.array([self.data])
 
     def _load_image_data(self) -> None:
         assert self.path is not None
         import PIL.Image
 
-        image = np.flipud(np.array(PIL.Image.open(self.path)))
-        if len(image.shape) == 2:
-            image = np.array([image])
-        else:
-            image = np.moveaxis(image, 2, 0)
-        self.data = image
+        with PIL.Image.open(self.path) as handle:
+            raw = np.asarray(handle)
+        frames = np.flipud(raw)
+        self.data = (
+            frames[np.newaxis] if frames.ndim == 2
+            else np.moveaxis(frames, 2, 0)
+        )
+
+    #: init-kwarg <- header-keyword resolution table: each row is
+    #: (kwarg, candidate header keywords in priority order, transform).
+    @classmethod
+    def _header_kw_specs(cls):
+        pm = cls._make_fits_kw
+        eso_to_earth = lambda v: 'EARTH' if str(v).startswith('ESO-') else v
+        return [
+            ('target', [pm('TARGET'), 'OBJECT', 'TARGET', 'TARGNAME'], None),
+            ('observer', [pm('OBSERVER'), 'TELESCOP'], eso_to_earth),
+            ('utc', [pm('UTC-OBS'), 'MJD-AVG', 'EXPMID', 'DATE-AVG'], None),
+            ('observer_frame', [pm('OBSERVER-FRAME')], None),
+            ('illumination_source', [pm('ILLUMINATION')], None),
+            ('aberration_correction', [pm('ABCORR')], None),
+            ('subpoint_method', [pm('SUBPOINT-METHOD')], None),
+            ('surface_method', [pm('SURFACE-METHOD')], None),
+        ]
 
     @classmethod
     def _add_kw_from_header(cls, kw: dict, header: fits.Header) -> None:
-        _try_get_header_value(
-            kw, header, 'target',
-            [cls._make_fits_kw('TARGET'), 'OBJECT', 'TARGET', 'TARGNAME'],
-        )
-        _try_get_header_value(
-            kw, header, 'observer',
-            [cls._make_fits_kw('OBSERVER'), 'TELESCOP'],
-            value_fn=lambda v: 'EARTH' if str(v).startswith('ESO-') else v,
-        )
+        for key, candidates, transform in cls._header_kw_specs():
+            _try_get_header_value(kw, header, key, candidates, transform)
+            if key == 'utc' and 'utc' not in kw:
+                cls._utc_from_header_fallbacks(kw, header)
+
+    @staticmethod
+    def _utc_from_header_fallbacks(kw: dict, header: fits.Header) -> None:
+        # exposure midpoint from MJD-BEG/MJD-END, then DATE-OBS+TIME-OBS,
+        # then single begin/end timestamps
+        try:
+            kw['utc'] = (
+                float(header['MJD-BEG']) + float(header['MJD-END'])
+            ) / 2
+            return
+        except (KeyError, TypeError, ValueError):
+            pass
+        try:
+            kw['utc'] = f"{header['DATE-OBS']} {header['TIME-OBS']}"
+            return
+        except KeyError:
+            pass
         _try_get_header_value(
             kw, header, 'utc',
-            [cls._make_fits_kw('UTC-OBS'), 'MJD-AVG', 'EXPMID', 'DATE-AVG'],
-        )
-        if 'utc' not in kw:
-            try:
-                beg = float(header['MJD-BEG'])
-                end = float(header['MJD-END'])
-                kw['utc'] = (beg + end) / 2
-            except (KeyError, TypeError, ValueError):
-                pass
-            if 'utc' not in kw:
-                try:
-                    kw['utc'] = (
-                        str(header['DATE-OBS']) + ' ' + str(header['TIME-OBS'])
-                    )
-                except KeyError:
-                    pass
-            _try_get_header_value(
-                kw, header, 'utc',
-                ['DATE-OBS', 'DATE-BEG', 'DATE-END', 'MJD-BEG', 'MJD-END'],
-            )
-        _try_get_header_value(
-            kw, header, 'observer_frame', [cls._make_fits_kw('OBSERVER-FRAME')]
-        )
-        _try_get_header_value(
-            kw, header, 'illumination_source',
-            [cls._make_fits_kw('ILLUMINATION')],
-        )
-        _try_get_header_value(
-            kw, header, 'aberration_correction', [cls._make_fits_kw('ABCORR')]
-        )
-        _try_get_header_value(
-            kw, header, 'subpoint_method',
-            [cls._make_fits_kw('SUBPOINT-METHOD')],
-        )
-        _try_get_header_value(
-            kw, header, 'surface_method',
-            [cls._make_fits_kw('SURFACE-METHOD')],
+            ['DATE-OBS', 'DATE-BEG', 'DATE-END', 'MJD-BEG', 'MJD-END'],
         )
 
     # API overrides
@@ -270,32 +265,40 @@ class Observation(BodyXY):
     # ------------------------------------------------------------------
     def reset_disc_params(self) -> str:
         """Reset disc parameters: header values, then WCS, then centred."""
-        try:
-            self.disc_from_header()
-        except ValueError:
+        initialisers = (
+            (self.disc_from_header, ValueError),
+            (
+                lambda: self.disc_from_wcs(suppress_warnings=True),
+                (ValueError, NotImplementedError),
+            ),
+        )
+        for initialise, failures in initialisers:
             try:
-                self.disc_from_wcs(suppress_warnings=True)
-            except (ValueError, NotImplementedError):
-                return super(Observation, self).reset_disc_params()
-        return self.get_disc_method()
+                initialise()
+                return self.get_disc_method()
+            except failures:  # type: ignore[misc]
+                continue
+        return super(Observation, self).reset_disc_params()
 
     def disc_from_header(self) -> None:
         """Set disc parameters from PLANMAP DISC header values."""
+        pm = self._make_fits_kw
         if (
-            self._make_fits_kw('MAP PROJECTION') in self.header
-            or self._make_fits_kw('DEGREE-INTERVAL') in self.header
+            pm('MAP PROJECTION') in self.header
+            or pm('DEGREE-INTERVAL') in self.header
         ):
             raise ValueError('FITS header refers to mapped data')
         try:
-            self.set_disc_params(
-                x0=self.header[self._make_fits_kw('DISC X0')],
-                y0=self.header[self._make_fits_kw('DISC Y0')],
-                r0=self.header[self._make_fits_kw('DISC R0')],
-                rotation=self.header[self._make_fits_kw('DISC ROT')],
-            )
-            self.set_disc_method('header')
+            disc = [
+                self.header[pm(f'DISC {field}')]
+                for field in ('X0', 'Y0', 'R0', 'ROT')
+            ]
         except KeyError as exc:
-            raise ValueError('No disc parameters found in FITS header') from exc
+            raise ValueError(
+                'No disc parameters found in FITS header'
+            ) from exc
+        self.set_disc_params(*disc)
+        self.set_disc_method('header')
 
     def _get_wcs_from_header(self, suppress_warnings: bool = False) -> WCS:
         del suppress_warnings
@@ -310,63 +313,77 @@ class Observation(BodyXY):
         distortion_warning_threshold: float | None = 0.25,
     ) -> tuple[float, float, float, float]:
         wcs = self._get_wcs_from_header(suppress_warnings=suppress_warnings)
-
         if wcs.naxis == 0:
             raise ValueError('No WCS information found in FITS header')
-
         if validate:
-            if not all(u == 'deg' for u in wcs.world_axis_units):
-                raise ValueError('WCS coordinates are not in degrees')
-            if not wcs.world_axis_physical_types == [
-                'pos.eq.ra', 'pos.eq.dec'
-            ]:
-                raise ValueError('WCS axes are not RA/Dec coordinates')
-            if distortion_warning_threshold is not None:
-                max_distortion, avg_distortion = (
-                    self._get_max_and_average_wcs_distortion(wcs)
-                )
-                if max_distortion > distortion_warning_threshold:
-                    warn(
-                        f'The WCS contains distortion of up to '
-                        f'{max_distortion:.3f} pixels (average '
-                        f'{avg_distortion:.3f} pixels), which is not '
-                        'accounted for by PlanetMapper.',
-                    )
+            self._validate_wcs(wcs, distortion_warning_threshold)
 
-        x0, y0 = wcs.world_to_pixel_values(self.target_ra, self.target_dec)
+        # disc centre: where the WCS puts the target's RA/Dec
+        cx, cy = wcs.world_to_pixel_values(self.target_ra, self.target_dec)
+        # rotation + plate scale from a one-pixel step along +y
+        step_world = wcs.pixel_to_world_values(cx, cy + 1)
+        here_world = wcs.pixel_to_world_values(cx, cy)
+        rotation = np.rad2deg(np.arctan2(
+            step_world[0] - here_world[0], step_world[1] - here_world[1]
+        ))
+        arcsec_per_px = 3600 * self.angular_dist(*step_world, *here_world)
+        radius = self.target_diameter_arcsec / (2 * arcsec_per_px)
 
-        b1, b2 = wcs.pixel_to_world_values(x0, y0 + 1)
-        c1, c2 = wcs.pixel_to_world_values(x0, y0)
-
-        rotation = np.rad2deg(np.arctan2(b1 - c1, b2 - c2))
-
-        s = self.angular_dist(b1, b2, c1, c2)
-        arcsec_per_px = s * 60 * 60
-        r0 = self.target_diameter_arcsec / (2 * arcsec_per_px)
-
+        disc = (cx, cy, radius, rotation)
         if use_header_offsets:
-            dra_arcsec = float(self.header.get('HIERARCH NAV RA_OFFSET', 0.0))
-            ddec_arcsec = float(
-                self.header.get('HIERARCH NAV DEC_OFFSET', 0.0)
+            disc = self._shift_disc_by_header_offsets(disc)
+        return tuple(float(v) for v in disc)
+
+    def _shift_disc_by_header_offsets(self, disc):
+        """Apply stored HIERARCH NAV RA/DEC_OFFSET arcsec adjustments."""
+        dra = float(self.header.get('HIERARCH NAV RA_OFFSET', 0.0))
+        ddec = float(self.header.get('HIERARCH NAV DEC_OFFSET', 0.0))
+        if dra == 0 and ddec == 0:
+            return disc
+        scratch = self.to_body_xy()
+        scratch.set_disc_params(*disc)
+        scratch.add_arcsec_offset(dra_arcsec=dra, ddec_arcsec=ddec)
+        return scratch.get_disc_params()
+
+    def _validate_wcs(self, wcs: WCS, distortion_warning_threshold) -> None:
+        if not all(u == 'deg' for u in wcs.world_axis_units):
+            raise ValueError('WCS coordinates are not in degrees')
+        if wcs.world_axis_physical_types != ['pos.eq.ra', 'pos.eq.dec']:
+            raise ValueError('WCS axes are not RA/Dec coordinates')
+        if distortion_warning_threshold is None:
+            return
+        worst, typical = self._get_max_and_average_wcs_distortion(wcs)
+        if worst > distortion_warning_threshold:
+            warn(
+                f'The WCS contains distortion of up to '
+                f'{worst:.3f} pixels (average '
+                f'{typical:.3f} pixels), which is not '
+                'accounted for by PlanetMapper.',
             )
-            if dra_arcsec != 0 or ddec_arcsec != 0:
-                body = self.to_body_xy()
-                body.set_disc_params(x0, y0, r0, rotation)
-                body.add_arcsec_offset(
-                    dra_arcsec=dra_arcsec, ddec_arcsec=ddec_arcsec
-                )
-                x0, y0, r0, rotation = body.get_disc_params()
-        return float(x0), float(y0), float(r0), float(rotation)
 
     def _get_max_and_average_wcs_distortion(self, wcs: WCS):
         if not wcs.has_distortion:
             return 0.0, 0.0
-        x, y = np.meshgrid(
-            np.arange(0, self.data.shape[2]), np.arange(0, self.data.shape[1])
-        )
-        x_foc, y_foc = wcs.pix2foc(x, y, 0)
-        distortion_img = np.hypot(x_foc - x, y_foc - y)
-        return float(np.max(distortion_img)), float(np.mean(distortion_img))
+        ny, nx = self.data.shape[1:]
+        grid_x, grid_y = np.meshgrid(np.arange(nx), np.arange(ny))
+        focal = wcs.pix2foc(grid_x, grid_y, 0)
+        shift = np.hypot(focal[0] - grid_x, focal[1] - grid_y)
+        return float(shift.max()), float(shift.mean())
+
+    def _apply_wcs_fields(
+        self, method: str, fields: str, *args, **kwargs
+    ) -> None:
+        """Copy the requested subset of WCS-derived disc parameters."""
+        params = dict(zip(
+            'xyrR', self._get_disc_params_from_wcs(*args, **kwargs)
+        ))
+        setters = {
+            'x': self.set_x0, 'y': self.set_y0,
+            'r': self.set_r0, 'R': self.set_rotation,
+        }
+        for field in fields:
+            setters[field](params[field])
+        self.set_disc_method(method)
 
     def disc_from_wcs(
         self,
@@ -376,45 +393,34 @@ class Observation(BodyXY):
         distortion_warning_threshold: float | None = 0.25,
     ) -> None:
         """Set all disc parameters from WCS information in the header."""
-        x0, y0, r0, rotation = self._get_disc_params_from_wcs(
-            suppress_warnings, validate, use_header_offsets,
+        self._apply_wcs_fields(
+            'wcs', 'xyrR',
+            suppress_warnings=suppress_warnings, validate=validate,
+            use_header_offsets=use_header_offsets,
             distortion_warning_threshold=distortion_warning_threshold,
         )
-        self.set_x0(x0)
-        self.set_y0(y0)
-        self.set_r0(r0)
-        self.set_rotation(rotation)
-        self.set_disc_method('wcs')
 
     def position_from_wcs(self, *args, **kwargs) -> None:
         """Set (x0, y0) from WCS information in the header."""
-        x0, y0, r0, rotation = self._get_disc_params_from_wcs(*args, **kwargs)
-        self.set_x0(x0)
-        self.set_y0(y0)
-        self.set_disc_method('wcs_position')
+        self._apply_wcs_fields('wcs_position', 'xy', *args, **kwargs)
 
     def rotation_from_wcs(self, *args, **kwargs) -> None:
         """Set the disc rotation from WCS information in the header."""
-        x0, y0, r0, rotation = self._get_disc_params_from_wcs(*args, **kwargs)
-        self.set_rotation(rotation)
-        self.set_disc_method('wcs_rotation')
+        self._apply_wcs_fields('wcs_rotation', 'R', *args, **kwargs)
 
     def plate_scale_from_wcs(self, *args, **kwargs) -> None:
         """Set the plate scale (r0) from WCS information in the header."""
-        x0, y0, r0, rotation = self._get_disc_params_from_wcs(*args, **kwargs)
-        self.set_r0(r0)
-        self.set_disc_method('wcs_plate_scale')
+        self._apply_wcs_fields('wcs_plate_scale', 'r', *args, **kwargs)
 
     def get_wcs_offset(self, *args, **kwargs):
         """(dx, dy, dr, drotation) between current and WCS disc params."""
-        x0_wcs, y0_wcs, r0_wcs, rotation_wcs = self._get_disc_params_from_wcs(
-            *args, **kwargs
+        wx, wy, wr, wrot = self._get_disc_params_from_wcs(*args, **kwargs)
+        return (
+            self.get_x0() - wx,
+            self.get_y0() - wy,
+            self.get_r0() - wr,
+            (self.get_rotation() - wrot) % 360,
         )
-        dx = self.get_x0() - x0_wcs
-        dy = self.get_y0() - y0_wcs
-        dr = self.get_r0() - r0_wcs
-        drotation = (self.get_rotation() - rotation_wcs) % 360
-        return dx, dy, dr, drotation
 
     def get_wcs_arcsec_offset(
         self, *args, check_is_position_offset_only: bool = True, **kwargs
@@ -437,11 +443,15 @@ class Observation(BodyXY):
 
     def _get_wcs_offsets_for_arcsec(self, *args, **kwargs):
         dx, dy, dr, drotation = self.get_wcs_offset(*args, **kwargs)
-        ra0, dec0 = self.xy2radec(0, 0)
-        ra1, dec1 = self.xy2radec(dx, dy)
-        dra_arcsec = (ra1 - ra0) * 3600
-        ddec_arcsec = (dec1 - dec0) * 3600
-        return dra_arcsec, ddec_arcsec, dr, drotation
+        origin = self.xy2radec(0, 0)
+        shifted = self.xy2radec(dx, dy)
+        to_arcsec = lambda a, b: (a - b) * 3600
+        return (
+            to_arcsec(shifted[0], origin[0]),
+            to_arcsec(shifted[1], origin[1]),
+            dr,
+            drotation,
+        )
 
     # ------------------------------------------------------------------
     # Disc fitting
@@ -528,47 +538,15 @@ class Observation(BodyXY):
 
     @_cache_clearable_alt_dependent_result
     @progress_decorator
-    def _get_mapped_data(
-        self, *, interpolation, spline_smoothing, propagate_nan,
-        smooth_oversample_by, smooth_max_oversampled_img_size, **map_kwargs,
-    ) -> np.ndarray:
-        data = self.data
-        if interpolation != 'smooth':
-            # One batched call: the device spline/nearest paths map every
-            # wavelength frame in a single program (shared sample-weight
-            # matrices), instead of a per-frame Python loop
-            self._update_progress_hook(0.0)
-            # float64 materialisation: the FITS products and the reference
-            # API contract are double precision
-            return np.asarray(
-                self.map_img(
-                    data,
-                    as_numpy=False,
-                    spline_smoothing=spline_smoothing,
-                    interpolation=interpolation,
-                    propagate_nan=propagate_nan,
-                    smooth_oversample_by=smooth_oversample_by,
-                    smooth_max_oversampled_img_size=smooth_max_oversampled_img_size,
-                    **map_kwargs,
-                ),
-                dtype=np.float64,
-            )
-        projected = []
-        for idx, img in enumerate(data):
-            self._update_progress_hook(idx / len(data))
-            projected.append(
-                self.map_img(
-                    img,
-                    spline_smoothing=spline_smoothing,
-                    interpolation=interpolation,
-                    propagate_nan=propagate_nan,
-                    smooth_oversample_by=smooth_oversample_by,
-                    smooth_max_oversampled_img_size=smooth_max_oversampled_img_size,
-                    **map_kwargs,
-                )
-            )
-        # float64 materialisation, as for the batched branch above
-        return np.array(projected, dtype=np.float64)
+    def _get_mapped_data(self, **kwargs) -> np.ndarray:
+        # One batched device program maps every wavelength frame at once
+        # (shared sample-weight matrices / vmapped PCHIP - no per-frame
+        # Python loop on any interpolation mode). float64
+        # materialisation: the FITS products and the reference API
+        # contract are double precision.
+        self._update_progress_hook(0.0)
+        projected = self.map_img(self.data, as_numpy=False, **kwargs)
+        return np.asarray(projected, dtype=np.float64)
 
     # ------------------------------------------------------------------
     # Output
@@ -584,99 +562,109 @@ class Observation(BodyXY):
         remove_existing: bool = True,
     ) -> None:
         """Add a (PLANMAP-prefixed by default) card to a FITS header."""
-        if header is None:
-            header = self.header
-        if hierarch_keyword:
-            keyword = self._make_fits_kw(keyword)
+        target = self.header if header is None else header
+        key = self._make_fits_kw(keyword) if hierarch_keyword else keyword
         if truncate_strings and isinstance(value, str):
-            if len(keyword) + len(value) + 4 > 80:
-                n = 80 - len(keyword) - 4 - 3
-                value = value[:n] + '...'
+            budget = 80 - len(key) - 4  # card layout: key + "= '" + "'"
+            if len(value) > budget:
+                value = value[:budget - 3] + '...'
         if remove_existing:
-            header.remove(keyword, ignore_missing=True, remove_all=True)
-        header.append(fits.Card(keyword=keyword, value=value, comment=comment))
+            target.remove(key, ignore_missing=True, remove_all=True)
+        target.append(fits.Card(keyword=key, value=value, comment=comment))
 
     @classmethod
     def _make_fits_kw(cls, keyword: str) -> str:
         return f'HIERARCH {cls.FITS_KEYWORD} {keyword}'
 
+    def _metadata_cards(self):
+        """
+        The PLANMAP metadata card table: (keyword, value, comment) rows,
+        in the order they appear in output files. Card keywords/comments
+        are byte-identical to the reference's so the two packages'
+        outputs are interchangeable (FITS regression tests compare them
+        card by card).
+        """
+        rows = [
+            ('VERSION', common.__version__, 'PlanetMapper version.'),
+            ('URL', common.__url__, 'Webpage.'),
+            ('DATE',
+             datetime.datetime.now().strftime('%Y-%m-%dT%H:%M:%S'),
+             'File generation datetime.'),
+        ]
+        if self.path is not None:
+            rows.append(
+                ('INFILE', os.path.split(self.path)[1], 'Input file name.')
+            )
+        rows += [
+            ('DISC X0', self.get_x0(),
+             '[pixels] x coordinate of disc centre.'),
+            ('DISC Y0', self.get_y0(),
+             '[pixels] y coordinate of disc centre.'),
+            ('DISC R0', self.get_r0(),
+             '[pixels] equatorial radius of disc.'),
+            ('DISC ROT', self.get_rotation(), '[degrees] rotation of image.'),
+            ('DISC METHOD', self.get_disc_method(),
+             'Method used to find disc.'),
+            ('ALTITUDE-ADJUSTMENT', self._alt_adjustment,
+             '[km] Adjustment to surface altitude.'),
+            ('UTC-OBS', self.utc, 'UTC date of observation'),
+            ('ET-OBS', self.et, 'J2000 ephemeris seconds of observation.'),
+            ('TARGET', self.target, 'Target body name used in SPICE.'),
+            ('TARGET-ID', self.target_body_id, 'Target body ID from SPICE.'),
+            ('SUBPOINT LAT', self.subpoint_lat,
+             '[degrees] Sub-observer pgr latitude.'),
+            ('SUBPOINT LON', self.subpoint_lon,
+             '[degrees] Sub-observer pgr longitude.'),
+            ('SUBSOL LAT', self.subsol_lat,
+             '[degrees] Sub-solar pgr latitude.'),
+            ('SUBSOL LON', self.subsol_lon,
+             '[degrees] Sub-solar pgr longitude.'),
+            ('LON-DIRECTION', self.positive_longitude_direction,
+             'Positive pgr longitude direction.'),
+            ('NP-ANGLE', self.north_pole_angle(),
+             '[degrees] North pole angle.'),
+            ('TARGET RA', self.target_ra, '[degrees] RA of target centre.'),
+            ('TARGET DEC', self.target_dec,
+             '[degrees] Dec of target centre.'),
+            ('TARGET DIAMETER', self.target_diameter_arcsec,
+             '[arcsec] Equatorial angular diameter of target.'),
+            ('R EQ', self.r_eq, '[km] Target equatorial radius from SPICE.'),
+            ('R POLAR', self.r_polar,
+             '[km] Target polar radius from SPICE.'),
+            ('FLATTENING', self.flattening, 'Flattening of target body.'),
+            ('LIGHT-TIME', self.target_light_time,
+             '[seconds] Light time to target from SPICE.'),
+            ('DISTANCE', self.target_distance,
+             '[km] Distance to target from SPICE.'),
+            ('OBSERVER', self.observer, 'Observer name used in SPICE.'),
+            ('TARGET-FRAME', self.target_frame,
+             'Target frame used in SPICE.'),
+            ('OBSERVER-FRAME', self.observer_frame,
+             'Observer frame used in SPICE.'),
+            ('ILLUMINATION', self.illumination_source,
+             'Illumination source used in SPICE.'),
+            ('ABCORR', self.aberration_correction,
+             'Aberration correction used in SPICE.'),
+            ('SUBPOINT-METHOD', self.subpoint_method,
+             'Subpoint method used in SPICE.'),
+            ('SURFACE-METHOD', self.surface_method,
+             'Surface intercept method used in SPICE.'),
+            ('OPTIMIZATION-USED', self._optimize_speed,
+             'Speed optimizations used.'),
+        ]
+        return rows
+
     def add_header_metadata(self, header: fits.Header | None = None) -> None:
         """Add the automatically-generated PLANMAP metadata cards."""
-        a = lambda *args, **kw: self.append_to_header(*args, header=header, **kw)
-        a('VERSION', common.__version__, 'PlanetMapper version.')
-        a('URL', common.__url__, 'Webpage.')
-        a(
-            'DATE',
-            datetime.datetime.now().strftime('%Y-%m-%dT%H:%M:%S'),
-            'File generation datetime.',
-        )
-        if self.path is not None:
-            a('INFILE', os.path.split(self.path)[1], 'Input file name.')
-        a('DISC X0', self.get_x0(), '[pixels] x coordinate of disc centre.')
-        a('DISC Y0', self.get_y0(), '[pixels] y coordinate of disc centre.')
-        a('DISC R0', self.get_r0(), '[pixels] equatorial radius of disc.')
-        a('DISC ROT', self.get_rotation(), '[degrees] rotation of image.')
-        a('DISC METHOD', self.get_disc_method(), 'Method used to find disc.')
-        a(
-            'ALTITUDE-ADJUSTMENT', self._alt_adjustment,
-            '[km] Adjustment to surface altitude.',
-        )
-        a('UTC-OBS', self.utc, 'UTC date of observation')
-        a('ET-OBS', self.et, 'J2000 ephemeris seconds of observation.')
-        a('TARGET', self.target, 'Target body name used in SPICE.')
-        a('TARGET-ID', self.target_body_id, 'Target body ID from SPICE.')
-        a('SUBPOINT LAT', self.subpoint_lat, '[degrees] Sub-observer pgr latitude.')
-        a('SUBPOINT LON', self.subpoint_lon, '[degrees] Sub-observer pgr longitude.')
-        a('SUBSOL LAT', self.subsol_lat, '[degrees] Sub-solar pgr latitude.')
-        a('SUBSOL LON', self.subsol_lon, '[degrees] Sub-solar pgr longitude.')
-        a(
-            'LON-DIRECTION', self.positive_longitude_direction,
-            'Positive pgr longitude direction.',
-        )
-        a('NP-ANGLE', self.north_pole_angle(), '[degrees] North pole angle.')
-        a('TARGET RA', self.target_ra, '[degrees] RA of target centre.')
-        a('TARGET DEC', self.target_dec, '[degrees] Dec of target centre.')
-        a(
-            'TARGET DIAMETER', self.target_diameter_arcsec,
-            '[arcsec] Equatorial angular diameter of target.',
-        )
-        a('R EQ', self.r_eq, '[km] Target equatorial radius from SPICE.')
-        a('R POLAR', self.r_polar, '[km] Target polar radius from SPICE.')
-        a('FLATTENING', self.flattening, 'Flattening of target body.')
-        a(
-            'LIGHT-TIME', self.target_light_time,
-            '[seconds] Light time to target from SPICE.',
-        )
-        a('DISTANCE', self.target_distance, '[km] Distance to target from SPICE.')
-        a('OBSERVER', self.observer, 'Observer name used in SPICE.')
-        a('TARGET-FRAME', self.target_frame, 'Target frame used in SPICE.')
-        a('OBSERVER-FRAME', self.observer_frame, 'Observer frame used in SPICE.')
-        a(
-            'ILLUMINATION', self.illumination_source,
-            'Illumination source used in SPICE.',
-        )
-        a(
-            'ABCORR', self.aberration_correction,
-            'Aberration correction used in SPICE.',
-        )
-        a('SUBPOINT-METHOD', self.subpoint_method, 'Subpoint method used in SPICE.')
-        a(
-            'SURFACE-METHOD', self.surface_method,
-            'Surface intercept method used in SPICE.',
-        )
-        a('OPTIMIZATION-USED', self._optimize_speed, 'Speed optimizations used.')
+        for keyword, value, comment in self._metadata_cards():
+            self.append_to_header(keyword, value, comment, header=header)
 
     def make_filename(
         self, extension: str = '.fits', prefix: str = '', suffix: str = ''
     ) -> str:
         """Filename from the target and date, e.g. JUPITER_2005-01-01T000000.fits."""
-        return '{prefix}{target}_{date}{suffix}{extension}'.format(
-            prefix=prefix,
-            target=self.target,
-            date=self.dtm.strftime('%Y-%m-%dT%H%M%S'),
-            extension=extension,
-            suffix=suffix,
-        )
+        stamp = self.dtm.strftime('%Y-%m-%dT%H%M%S')
+        return f'{prefix}{self.target}_{stamp}{suffix}{extension}'
 
     @progress_decorator
     def save_observation(
@@ -695,78 +683,50 @@ class Observation(BodyXY):
         Save a FITS file containing the observed data and all generated
         backplanes (one ImageHDU each, plus the WIREFRAME overlay).
         """
-        path = os.fspath(path)
-        backplanes_to_save = self._get_backplane_names_to_save(
-            backplanes_to_save, backplanes_to_skip
-        )
-        if show_progress and self._get_progress_hook() is None:
-            print_info = False
-            self._set_progress_hook(SaveNavProgressHookCLI())
-        else:
-            show_progress = False
-
-        if print_info:
-            print('Saving observation to', path)
-
         with _AdjustedSurfaceAltitude(self, alt):
-            progress_max = 10 + len(self.backplanes)
-            data = self.data
-            header = self.header.copy()
-            self._update_progress_hook(1 / progress_max)
-            self.add_header_metadata(header)
-            hdul = fits.HDUList([fits.PrimaryHDU(data=data, header=header)])
-            for bp_idx, (name, backplane) in enumerate(self.backplanes.items()):
-                self._update_progress_hook((bp_idx + 1) / progress_max)
-                if name not in backplanes_to_save:
-                    continue
-                if print_info:
-                    print(' Creating backplane:', name)
-                img = backplane.get_img()
-                bp_header = fits.Header([('ABOUT', backplane.description)])
-                bp_header.add_comment(
-                    'Backplane generated by PlanetMapper software.'
-                )
-                hdul.append(
-                    fits.ImageHDU(data=np.asarray(img), header=bp_header,
-                                  name=name)
-                )
-
-            if include_wireframe:
-                if print_info:
-                    print(' Creating wireframe...')
-                wireframe = self.get_wireframe_overlay_img(
-                    **wireframe_kwargs or {}
-                )
-                wf_header = fits.Header([('ABOUT', 'Wireframe image overlay')])
-                wf_header.add_comment(
-                    'Wireframe overlay generated by PlanetMapper software.'
-                )
-                hdul.append(
-                    fits.ImageHDU(
-                        data=wireframe, header=wf_header, name='WIREFRAME'
+            self._run_fits_export(
+                path,
+                banner='observation',
+                hook=SaveNavProgressHookCLI(),
+                base_steps=10,
+                want=self._get_backplane_names_to_save(
+                    backplanes_to_save, backplanes_to_skip
+                ),
+                include_backplanes=True,
+                primary=self._navigated_primary_hdu_parts,
+                plane=lambda backplane: backplane.get_img(),
+                decorate_hdu=None,
+                wireframe=(
+                    (
+                        lambda: self.get_wireframe_overlay_img(
+                            **wireframe_kwargs or {}
+                        ),
+                        'Wireframe image overlay',
                     )
-                )
+                    if include_wireframe
+                    else None
+                ),
+                show_progress=show_progress,
+                print_info=print_info,
+            )
 
-            if print_info:
-                print(' Saving file...')
-            utils.check_path(path)
-            hdul.writeto(path, overwrite=True)
-        if print_info:
-            print('File saved')
-        if show_progress:
-            self._update_progress_hook(1)
-            self._remove_progress_hook()
+    def _navigated_primary_hdu_parts(self, total_steps: int):
+        header = self.header.copy()
+        self._update_progress_hook(1 / total_steps)
+        self.add_header_metadata(header)
+        return self.data, header
 
     def _get_backplane_names_to_save(
         self,
         backplanes_to_save: Collection[str] | None,
         backplanes_to_skip: Collection[str],
     ) -> set[str]:
-        if backplanes_to_save is None:
-            backplanes_to_save = self.backplanes.keys()
-        return {
-            self.standardise_backplane_name(n) for n in backplanes_to_save
-        } - {self.standardise_backplane_name(n) for n in backplanes_to_skip}
+        std = self.standardise_backplane_name
+        wanted = (
+            self.backplanes.keys() if backplanes_to_save is None
+            else backplanes_to_save
+        )
+        return {std(n) for n in wanted} - {std(n) for n in backplanes_to_skip}
 
     @progress_decorator
     @_adjust_surface_altitude_decorator
@@ -796,85 +756,136 @@ class Observation(BodyXY):
         Save a FITS file containing the mapped observation (and mapped
         backplanes) in the requested projection.
         """
-        path = os.fspath(path)
-        backplanes_to_save = self._get_backplane_names_to_save(
-            backplanes_to_save, backplanes_to_skip
+        interp_settings = dict(
+            interpolation=interpolation,
+            spline_smoothing=spline_smoothing,
+            propagate_nan=propagate_nan,
+            smooth_oversample_by=smooth_oversample_by,
+            smooth_max_oversampled_img_size=smooth_max_oversampled_img_size,
         )
+        self._run_fits_export(
+            path,
+            banner='map',
+            hook=SaveMapProgressHookCLI(len(self.data)),
+            base_steps=15,
+            want=self._get_backplane_names_to_save(
+                backplanes_to_save, backplanes_to_skip
+            ),
+            include_backplanes=include_backplanes,
+            primary=lambda total: self._mapped_primary_hdu_parts(
+                total, interp_settings, map_kwargs
+            ),
+            plane=lambda backplane: backplane.get_map(**map_kwargs),
+            decorate_hdu=lambda h: self._add_map_wcs_to_header(
+                h, **map_kwargs
+            ),
+            wireframe=(
+                (
+                    lambda: self.get_wireframe_overlay_map(
+                        **wireframe_kwargs or {}, **map_kwargs
+                    ),
+                    'Wireframe map overlay',
+                )
+                if include_wireframe
+                else None
+            ),
+            show_progress=show_progress,
+            print_info=print_info,
+            pre_primary_message=' Projecting mapped data...',
+        )
+
+    def _mapped_primary_hdu_parts(
+        self, total_steps: int, interp_settings: dict, map_kwargs: dict
+    ):
+        data = self.get_mapped_data(**interp_settings, **map_kwargs)
+        header = self.header.copy()
+        self._update_progress_hook(1 / total_steps)
+        self.add_header_metadata(header)
+        self._add_map_header_metadata(header, **interp_settings, **map_kwargs)
+        self._add_map_wcs_to_header(header, **map_kwargs)
+        return data, header
+
+    @staticmethod
+    def _about_header(about: str, overlay_kind: str | None = None):
+        h = fits.Header([('ABOUT', about)])
+        what = 'Wireframe overlay' if overlay_kind else 'Backplane'
+        h.add_comment(f'{what} generated by PlanetMapper software.')
+        return h
+
+    def _run_fits_export(
+        self,
+        path: str | os.PathLike,
+        *,
+        banner: str,
+        hook,
+        base_steps: int,
+        want: set[str],
+        include_backplanes: bool,
+        primary: Callable,
+        plane: Callable,
+        decorate_hdu: Callable | None,
+        wireframe: tuple[Callable, str] | None,
+        show_progress: bool,
+        print_info: bool,
+        pre_primary_message: str | None = None,
+    ) -> None:
+        """
+        The export engine shared by :meth:`save_observation` and
+        :meth:`save_mapped_observation`: progress-hook lifecycle, the
+        primary HDU, one ImageHDU per requested backplane, the optional
+        WIREFRAME overlay HDU, and the final write. Callers supply the
+        flavour-specific pieces as callables. HDU names, card keywords
+        and comment strings are byte-compatible with the reference
+        implementation's output files.
+        """
+        path = os.fspath(path)
         if show_progress and self._get_progress_hook() is None:
             print_info = False
-            self._set_progress_hook(SaveMapProgressHookCLI(len(self.data)))
+            self._set_progress_hook(hook)
         else:
             show_progress = False
 
-        if print_info:
-            print('Saving map to', path)
-
-        progress_max = 15 + (len(self.backplanes) if include_backplanes else 0)
-        if print_info:
-            print(' Projecting mapped data...')
-        data = self.get_mapped_data(
-            interpolation=interpolation,
-            spline_smoothing=spline_smoothing,
-            propagate_nan=propagate_nan,
-            smooth_oversample_by=smooth_oversample_by,
-            smooth_max_oversampled_img_size=smooth_max_oversampled_img_size,
-            **map_kwargs,
-        )
-        header = self.header.copy()
-        self._update_progress_hook(1 / progress_max)
-        self.add_header_metadata(header)
-        self._add_map_header_metadata(
-            header,
-            interpolation=interpolation,
-            spline_smoothing=spline_smoothing,
-            propagate_nan=propagate_nan,
-            smooth_oversample_by=smooth_oversample_by,
-            smooth_max_oversampled_img_size=smooth_max_oversampled_img_size,
-            **map_kwargs,
-        )
-        self._add_map_wcs_to_header(header, **map_kwargs)
-
-        hdul = fits.HDUList([fits.PrimaryHDU(data=data, header=header)])
-        if include_backplanes:
-            for bp_idx, (name, backplane) in enumerate(self.backplanes.items()):
-                self._update_progress_hook((bp_idx + 1) / progress_max)
-                if name not in backplanes_to_save:
-                    continue
-                if print_info:
-                    print(' Creating backplane:', name)
-                img = backplane.get_map(**map_kwargs)
-                bp_header = fits.Header([('ABOUT', backplane.description)])
-                bp_header.add_comment(
-                    'Backplane generated by PlanetMapper software.'
-                )
-                self._add_map_wcs_to_header(bp_header, **map_kwargs)
-                hdul.append(
-                    fits.ImageHDU(data=np.asarray(img), header=bp_header,
-                                  name=name)
-                )
-
-        if include_wireframe:
+        def say(*parts):
             if print_info:
-                print(' Creating wireframe...')
-            wireframe = self.get_wireframe_overlay_map(
-                **wireframe_kwargs or {},
-                **map_kwargs,
-            )
-            wf_header = fits.Header([('ABOUT', 'Wireframe map overlay')])
-            wf_header.add_comment(
-                'Wireframe overlay generated by PlanetMapper software.'
-            )
-            hdul.append(
-                fits.ImageHDU(data=wireframe, header=wf_header,
-                              name='WIREFRAME')
-            )
+                print(*parts)
 
-        if print_info:
-            print(' Saving file...')
+        say(f'Saving {banner} to', path)
+        total = base_steps + (
+            len(self.backplanes) if include_backplanes else 0
+        )
+        if pre_primary_message:
+            say(pre_primary_message)
+        data, header = primary(total)
+        hdus = [fits.PrimaryHDU(data=data, header=header)]
+        if include_backplanes:
+            for i, (name, backplane) in enumerate(self.backplanes.items()):
+                self._update_progress_hook((i + 1) / total)
+                if name not in want:
+                    continue
+                say(' Creating backplane:', name)
+                h = self._about_header(backplane.description)
+                if decorate_hdu is not None:
+                    decorate_hdu(h)
+                hdus.append(
+                    fits.ImageHDU(
+                        data=np.asarray(plane(backplane)), header=h,
+                        name=name,
+                    )
+                )
+        if wireframe is not None:
+            say(' Creating wireframe...')
+            wf_fn, wf_about = wireframe
+            hdus.append(
+                fits.ImageHDU(
+                    data=wf_fn(),
+                    header=self._about_header(wf_about, overlay_kind='wf'),
+                    name='WIREFRAME',
+                )
+            )
+        say(' Saving file...')
         utils.check_path(path)
-        hdul.writeto(path, overwrite=True)
-        if print_info:
-            print('File saved')
+        fits.HDUList(hdus).writeto(path, overwrite=True)
+        say('File saved')
         if show_progress:
             self._update_progress_hook(1)
             self._remove_progress_hook()
@@ -884,91 +895,87 @@ class Observation(BodyXY):
         propagate_nan, smooth_oversample_by, smooth_max_oversampled_img_size,
         **map_kwargs,
     ) -> None:
-        lons, lats, xx, yy, transformer, info = self.generate_map_coordinates(
-            **map_kwargs
+        info = self.generate_map_coordinates(**map_kwargs)[5]
+        mode = (
+            str(interpolation) if isinstance(interpolation, tuple)
+            else interpolation
         )
-        self.append_to_header(
-            'MAP INTERPOLATION',
-            str(interpolation)
-            if isinstance(interpolation, tuple)
-            else interpolation,
-            'Interpolation method used in mapping.',
-            header=header,
-        )
+        cards = [('MAP INTERPOLATION', mode,
+                  'Interpolation method used in mapping.')]
         if interpolation not in {'nearest', 'smooth'}:
-            self.append_to_header(
-                'MAP SPLINE-SMOOTHING', spline_smoothing,
-                'Interpolation spline smoothing factor used in mapping.',
-                header=header,
-            )
-            self.append_to_header(
-                'MAP PROPAGATE-NAN', propagate_nan,
-                'Propagate NaN pixels to map when mapping.',
-                header=header,
-            )
-        if interpolation == 'smooth':
-            self.append_to_header(
-                'MAP SMOOTH-OVERSAMPLE-BY', smooth_oversample_by,
-                'Oversampling factor used in map interpolation.',
-                header=header,
-            )
-            self.append_to_header(
-                'MAP SMOOTH-MAX-OVERSAMPLED-IMG-SIZE',
-                smooth_max_oversampled_img_size,
-                'Maximum oversampled image size allowed map interpolation.',
-                header=header,
-            )
-        self.append_to_header(
-            'MAP PROJECTION', info['projection'],
-            'Projection used for mapping.', header=header,
-        )
-        for key, kw, comment in [
+            cards += [
+                ('MAP SPLINE-SMOOTHING', spline_smoothing,
+                 'Interpolation spline smoothing factor used in mapping.'),
+                ('MAP PROPAGATE-NAN', propagate_nan,
+                 'Propagate NaN pixels to map when mapping.'),
+            ]
+        elif interpolation == 'smooth':
+            cards += [
+                ('MAP SMOOTH-OVERSAMPLE-BY', smooth_oversample_by,
+                 'Oversampling factor used in map interpolation.'),
+                ('MAP SMOOTH-MAX-OVERSAMPLED-IMG-SIZE',
+                 smooth_max_oversampled_img_size,
+                 'Maximum oversampled image size allowed map interpolation.'),
+            ]
+        cards.append(('MAP PROJECTION', info['projection'],
+                      'Projection used for mapping.'))
+        optional = [
             ('degree_interval', 'MAP DEGREE-INTERVAL',
              '[deg] Degree interval in output map.'),
             ('lon', 'MAP LON', 'Central longitude of map projection.'),
             ('lat', 'MAP LAT', 'Central latitude of map projection.'),
             ('size', 'MAP SIZE', 'Size of output map.'),
-        ]:
-            try:
-                self.append_to_header(kw, info[key], comment, header=header)
-            except KeyError:
-                pass
+        ]
+        cards += [
+            (kw, info[key], comment)
+            for key, kw, comment in optional if key in info
+        ]
+        for kw, value, comment in cards:
+            self.append_to_header(kw, value, comment, header=header)
+
+    #: Standard WCS cards per axis, scrubbed before (re)writing map WCS.
+    _WCS_AXIS_CARDS = ('CTYPE{n}', 'CUNIT{n}', 'CRPIX{n}', 'CRVAL{n}',
+                       'CDELT{n}')
 
     def _add_map_wcs_to_header(self, header: fits.Header, **map_kwargs) -> None:
-        lons, lats, xx, yy, transformer, info = self.generate_map_coordinates(
+        lons, lats, _xx, _yy, _tr, info = self.generate_map_coordinates(
             **map_kwargs
         )
         if info['projection'] == 'rectangular':
-            header['CTYPE1'] = (
-                'Planetographic longitude, positive {}'.format(
-                    self.positive_longitude_direction
-                )
-            )
-            header['CUNIT1'] = 'deg'
-            header['CRPIX1'] = 1
-            header['CRVAL1'] = lons[0][0]
-            header['CDELT1'] = lons[0][1] - lons[0][0]
-
-            header['CTYPE2'] = 'Planetographic latitude'
-            header['CUNIT2'] = 'deg'
-            header['CRPIX2'] = 1
-            header['CRVAL2'] = lats[0][0]
-            header['CDELT2'] = lats[1][0] - lats[0][0]
+            axes = {
+                '1': ('Planetographic longitude, positive '
+                      + self.positive_longitude_direction,
+                      lons[0][0], lons[0][1] - lons[0][0]),
+                '2': ('Planetographic latitude',
+                      lats[0][0], lats[1][0] - lats[0][0]),
+            }
+            for n, (ctype, crval, cdelt) in axes.items():
+                header[f'CTYPE{n}'] = ctype
+                header[f'CUNIT{n}'] = 'deg'
+                header[f'CRPIX{n}'] = 1
+                header[f'CRVAL{n}'] = crval
+                header[f'CDELT{n}'] = cdelt
         else:
-            for n in ['1', '2']:
-                for key in [
-                    f'CTYPE{n}', f'CUNIT{n}', f'CRPIX{n}', f'CRVAL{n}',
-                    f'CDELT{n}',
-                ]:
-                    header.remove(key, ignore_missing=True, remove_all=True)
-
-        for a_ in ['1', '2']:
-            for b_ in ['1', '2', '3']:
-                for key in [
-                    f'PC{a_}_{b_}', f'PC{b_}_{a_}', f'CD{a_}_{b_}',
-                    f'CD{b_}_{a_}',
-                ]:
-                    header.remove(key, ignore_missing=True, remove_all=True)
+            for n in '12':
+                for tmpl in self._WCS_AXIS_CARDS:
+                    header.remove(
+                        tmpl.format(n=n), ignore_missing=True,
+                        remove_all=True,
+                    )
+        # rotation/scale matrices never apply to the map grid
+        doomed = {
+            f'{kind}{i}_{j}'
+            for kind in ('PC', 'CD')
+            for i in '12'
+            for j in '123'
+        } | {
+            f'{kind}{j}_{i}'
+            for kind in ('PC', 'CD')
+            for i in '12'
+            for j in '123'
+        }
+        for key in sorted(doomed):
+            header.remove(key, ignore_missing=True, remove_all=True)
 
     def run_gui(self) -> list[tuple[float, float]]:
         """Run the interactive GUI to fit this observation in place."""
@@ -984,13 +991,14 @@ def _try_get_header_value(
     kw: dict, header, kw_key: str, header_keys: list[str],
     value_fn: Callable[[Any], Any] | None = None,
 ) -> bool:
-    if value_fn is None:
-        value_fn = lambda x: x
-    if kw_key not in kw:
-        for hk in header_keys:
-            try:
-                kw[kw_key] = value_fn(header[hk])
-                return True
-            except KeyError:
-                pass
+    """First matching header keyword wins; no-op if kw_key already set."""
+    if kw_key in kw:
+        return False
+    for candidate in header_keys:
+        try:
+            raw = header[candidate]
+        except KeyError:
+            continue
+        kw[kw_key] = raw if value_fn is None else value_fn(raw)
+        return True
     return False

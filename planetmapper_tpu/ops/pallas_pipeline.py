@@ -235,7 +235,7 @@ def build_pallas_pipeline(
     lst_quant: bool,
     n_lt_iters: int = 2,
     band_rows: int = 64,
-    col_tile: int = 256,
+    col_tile: int = 128,
     interpret: bool = False,
 ):
     """
@@ -1011,4 +1011,4 @@ def pallas_pipeline_supported(nx_b: int, ny_b: int) -> bool:
         return False
     if jax.default_backend() in ('cpu',):
         return False
-    return nx_b % 256 == 0 and ny_b % 64 == 0
+    return nx_b % 128 == 0 and ny_b % 64 == 0

@@ -1430,6 +1430,19 @@ def get_fused_pipeline(body, nx: int, ny: int):
     tiled = ny > 4 * band_rows
     ny_b = -(-ny // band_rows) * band_rows if tiled else _bucket_size(ny)
     robust_geodetic = _robust_geodetic(body)
+    # The single-kernel Pallas pipeline (ops/pallas_pipeline.py) replaces
+    # the band-mapped XLA graph on TPU backends for the shapes it tiles
+    # (2.3x: one Mosaic kernel instead of ~230 fusions per band, so
+    # intermediates never round-trip HBM). Small grids, 'double'
+    # precision and strongly-triaxial bodies keep the XLA path.
+    use_pallas = False
+    if precision == 'mixed' and not robust_geodetic:
+        from .ops.pallas_pipeline import pallas_pipeline_supported
+
+        ny_p = _bucket_size(ny)
+        if pallas_pipeline_supported(nx_b, ny_p):
+            use_pallas = True
+            ny_b = ny_p
     key = (
         body.target_body_id, body._observer_body_id,
         body.aberration_correction, body.positive_longitude_direction,
@@ -1437,18 +1450,32 @@ def get_fused_pipeline(body, nx: int, ny: int):
         bool(body._optimize_speed), nx_b, ny_b, precision,
         _lst_quantization(), robust_geodetic,
         os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2'),
-        band_rows,
+        band_rows, use_pallas,
     )
     fn = _PIPELINE_CACHE.get(key)
     if fn is None:
-        impl = fused_backplanes_fn(
-            positive_west=body.positive_longitude_direction == 'W',
-            prograde=body.prograde,
-            have_sun=body._engine._pos_s is not None,
-            optimize_speed=bool(body._optimize_speed),
-            precision=precision,
-            robust_geodetic=robust_geodetic,
-        )
+        if use_pallas:
+            from .ops.pallas_pipeline import build_pallas_pipeline
+
+            impl = build_pallas_pipeline(
+                positive_west=body.positive_longitude_direction == 'W',
+                prograde=body.prograde,
+                have_sun=body._engine._pos_s is not None,
+                optimize_speed=bool(body._optimize_speed),
+                lst_quant=_lst_quantization(),
+                n_lt_iters=int(
+                    os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2')
+                ),
+            )
+        else:
+            impl = fused_backplanes_fn(
+                positive_west=body.positive_longitude_direction == 'W',
+                prograde=body.prograde,
+                have_sun=body._engine._pos_s is not None,
+                optimize_speed=bool(body._optimize_speed),
+                precision=precision,
+                robust_geodetic=robust_geodetic,
+            )
 
         import jax.numpy as jnp
 
@@ -1469,7 +1496,8 @@ def get_fused_pipeline(body, nx: int, ny: int):
         # Row-band tiling: mapping the per-pixel program over bands keeps
         # each band's intermediates resident in VMEM instead of spilling
         # ~50 full-frame f64 temporaries to HBM (measured ~2.2x at 2048^2).
-        if not tiled:
+        # The Pallas impl tiles internally (its own grid) - no outer map.
+        if not tiled or use_pallas:
             def wrapped(xy2angular, disc, radii, anchors):
                 out = impl(nx_b, ny_b, xy2angular, disc, radii, anchors)
                 out['__CHECKSUM__'] = _checksum(out)
