@@ -193,19 +193,67 @@ def bench_map(n_runs: int) -> dict:
     # measures the reprojection itself.
     n_cube = 16
     cube = rng.normal(size=(n_cube, size, size))
-    m = body.map_img(cube, interpolation='cubic', as_numpy=False,
-                     **map_kwargs)
-    cube_sync = _make_sync(m)
-    cube_sync(m)  # warm
-    t0 = time.time()
-    m = body.map_img(cube * 1.000001, interpolation='cubic', as_numpy=False,
-                     **map_kwargs)
-    cube_sync(m)
-    assert m.shape == (n_cube, 720, 1440), m.shape
-    out['map_cubic_cube_device_ms_per_frame'] = round(
-        (time.time() - t0) / n_cube * 1e3, 3
-    )
+    for interp in ('cubic', 'smooth'):
+        m = body.map_img(cube, interpolation=interp, as_numpy=False,
+                         **map_kwargs)
+        cube_sync = _make_sync(m)
+        cube_sync(m)  # warm
+        t0 = time.time()
+        m = body.map_img(cube * 1.000001, interpolation=interp,
+                         as_numpy=False, **map_kwargs)
+        cube_sync(m)
+        assert m.shape == (n_cube, 720, 1440), m.shape
+        out[f'map_{interp}_cube_device_ms_per_frame'] = round(
+            (time.time() - t0) / n_cube * 1e3, 3
+        )
     return out
+
+
+def bench_transport() -> dict:
+    """
+    Measure the host<->device transport floor so the synchronous
+    numpy-returning numbers can be decomposed: a blocked call is
+    ``compute + rtt``; a numpy fetch adds ``bytes / d2h_rate``. Through
+    a remote-TPU tunnel these floors (not compute) dominate synchronous
+    single calls - e.g. a 720x1440 f32 map is 4 MB, so ``map_*_sync_ms``
+    can never beat ``rtt + 4 MB / rate`` regardless of kernel speed.
+    """
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tiny(i):
+        return jnp.sum(jnp.ones((128,)) * i)
+
+    rtts = []
+    for i in range(8):
+        v = tiny(float(i))
+        t0 = time.time()
+        float(v)
+        rtts.append(time.time() - t0)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def make(key, n):
+        return jax.random.uniform(key, (n,), jnp.float32)
+
+    mb = 4.0
+    n = int(mb * 1024 * 1024 // 4)
+    fetches = []
+    for i in range(3):
+        x = make(jax.random.PRNGKey(i), n)
+        x.block_until_ready()
+        t0 = time.time()
+        np.asarray(x)
+        fetches.append(time.time() - t0)
+    rtt = min(rtts)
+    fetch = min(fetches)
+    rate = mb / max(fetch - rtt, 1e-9)
+    return {
+        'rtt_ms': round(rtt * 1e3, 2),
+        'd2h_mb_per_s': round(rate, 1),
+        'map_sync_floor_ms': round((rtt + 4.0 / rate) * 1e3, 1),
+    }
 
 
 def bench_time_batch(n_frames: int) -> dict:
@@ -254,6 +302,10 @@ def main() -> None:
         detail.update(bench_time_batch(cube_frames))
     except Exception as exc:  # pragma: no cover
         detail['cube_error'] = f'{type(exc).__name__}: {exc}'
+    try:
+        detail.update(bench_transport())
+    except Exception as exc:  # pragma: no cover
+        detail['transport_error'] = f'{type(exc).__name__}: {exc}'
 
     mpix_per_s = bp['mpix_per_s']
     result = {
