@@ -175,6 +175,16 @@ def bench_map(n_runs: int) -> dict:
         body.map_img(img, interpolation=interp, as_numpy=True, **map_kwargs)
         out[f'map_{name}_sync_ms'] = round((time.time() - t0) * 1e3, 3)
 
+    # reduced-precision synchronous fetch: f16 halves the D2H bytes, the
+    # dominant term of a synchronous map call on remote transports
+    img = rng.normal(size=(size, size))
+    body.map_img(img, interpolation='linear', as_numpy=True,
+                 fetch_dtype=np.float16, **map_kwargs)  # warm
+    t0 = time.time()
+    body.map_img(img * 1.000001, interpolation='linear', as_numpy=True,
+                 fetch_dtype=np.float16, **map_kwargs)
+    out['map_linear_sync_f16_ms'] = round((time.time() - t0) * 1e3, 3)
+
     # 'smooth' (monotone PCHIP) mode, also fully device-resident
     img = rng.normal(size=(size, size))
     m = body.map_img(img, interpolation='smooth', **map_kwargs)

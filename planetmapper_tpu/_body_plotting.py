@@ -1,17 +1,26 @@
 """
-Wireframe plotting methods for :class:`Body` (parity with the plotting
-section of the reference's body.py:3036-3833).
+Wireframe plotting for :class:`Body`: API parity with the plotting
+section of the reference (body.py:3036-3833), rebuilt around a
+declarative artist pipeline.
 
-All geometry used by the plots (gridlines, limb, terminator, rings) comes
-from the batched device pipelines, so generating a wireframe costs a few
-device calls rather than thousands of scalar SPICE calls. Matplotlib stays a
-thin CPU shell over the computed curves.
+Design: a wireframe is a *list of artist specs* produced by
+:func:`_wireframe_artists` - each spec names its matplotlib primitive,
+the formatting component it draws with, optional overlay components
+(equator/prime-meridian emphasis, hidden-body styling) and its geometry
+in RA/Dec. A single renderer (:func:`_plot_wireframe`) resolves
+formatting, converts geometry through the requested coordinate system
+and replays the specs onto the axes. The geometry itself (gridlines,
+limb, terminator, rings) comes from the batched device pipelines, so a
+full wireframe costs a handful of device calls; matplotlib stays a thin
+CPU shell over the computed curves.
 """
 
 from __future__ import annotations
 
 import functools
+import operator
 from collections import defaultdict
+from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable, Literal
 
 import numpy as np
@@ -24,39 +33,170 @@ from .body import (
 )
 
 
-def get_poles_to_plot(self) -> list[tuple[float, float, str]]:
-    """
-    Poles to label when plotting: visible poles labelled 'N'/'S', or both
-    poles in brackets when neither is visible.
-    """
-    poles: list[tuple[float, float, str]] = []
-    pole_options = ((0, 90, 'N'), (0, -90, 'S'))
-    for lon, lat, s in pole_options:
-        if self.test_if_lonlat_visible(lon, lat):
-            poles.append((lon, lat, s))
-    if len(poles) == 0:
-        for lon, lat, s in pole_options:
-            poles.append((lon, lat, f'({s})'))
-    return poles
+# ---------------------------------------------------------------------------
+# Artist specs
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class _ArtistSpec:
+    """One matplotlib artist of a wireframe, before coordinate mapping."""
+
+    kind: Literal['curve', 'marker', 'label']
+    component: str
+    ras: Any
+    decs: Any
+    overlays: tuple[str, ...] = ()
+    text: str = ''
+    #: curves run through the vectorised transform + wraparound filter;
+    #: markers/labels are single points mapped with the scalar transform
+    is_curve: bool = field(init=False, default=False)
+
+    def __post_init__(self):
+        object.__setattr__(self, 'is_curve', self.kind == 'curve')
 
 
+def _wireframe_artists(
+    body,
+    *,
+    grid_interval: float,
+    grid_lat_limit: float,
+    planetocentric_grid: bool,
+    indicate_equator: bool,
+    indicate_prime_meridian: bool,
+    label_poles: bool,
+) -> Iterable[_ArtistSpec]:
+    """
+    Generate every artist of a body wireframe as a spec. Geometry is
+    fetched from the batched device paths (`visible_lon_grid_radec`,
+    `limb_radec`, `terminator_radec`, `ring_radec`, ...); nothing here
+    touches matplotlib.
+    """
+    lons = np.arange(0, 360, grid_interval)
+    lon_curves = body.visible_lon_grid_radec(
+        lons, lat_limit=grid_lat_limit, planetocentric=planetocentric_grid
+    )
+    for lon, (ra, dec) in zip(lons, lon_curves):
+        emphasise = lon == 0 and indicate_prime_meridian
+        yield _ArtistSpec(
+            'curve', 'grid', ra, dec,
+            overlays=('prime_meridian',) if emphasise else (),
+        )
+
+    lats = [
+        float(lat)
+        for lat in np.arange(-90, 90, grid_interval)
+        if abs(lat) <= grid_lat_limit
+    ]
+    lat_curves = body.visible_lat_grid_radec(
+        lats, lat_limit=grid_lat_limit, planetocentric=planetocentric_grid
+    )
+    for lat, (ra, dec) in zip(lats, lat_curves):
+        emphasise = lat == 0 and indicate_equator
+        yield _ArtistSpec(
+            'curve', 'grid', ra, dec,
+            overlays=('equator',) if emphasise else (),
+        )
+
+    yield _ArtistSpec('curve', 'limb', *body.limb_radec())
+    yield _ArtistSpec('curve', 'terminator', *body.terminator_radec())
+    ra_day, dec_day, _, _ = body.limb_radec_by_illumination()
+    yield _ArtistSpec('curve', 'limb_illuminated', ra_day, dec_day)
+
+    for radius in body.ring_radii:
+        yield _ArtistSpec('curve', 'ring', *body.ring_radec(radius))
+
+    if label_poles:
+        for lon, lat, s in body.get_poles_to_plot():
+            ra, dec = body.lonlat2radec(lon, lat, not_visible_nan=False)
+            yield _ArtistSpec('label', 'pole', ra, dec, text=s)
+
+    for lon, lat in body.coordinates_of_interest_lonlat:
+        if body.test_if_lonlat_visible(lon, lat):
+            ra, dec = body.lonlat2radec(lon, lat, not_visible_nan=False)
+            yield _ArtistSpec(
+                'marker', 'coordinate_of_interest_lonlat', ra, dec
+            )
+    for ra, dec in body.coordinates_of_interest_radec:
+        yield _ArtistSpec(
+            'marker', 'coordinate_of_interest_radec', ra, dec
+        )
+
+    for other in body.other_bodies_of_interest:
+        hidden = not body.test_if_other_body_visible(other)
+        name = f'({other.target})' if hidden else other.target
+        hide = ('hidden_other_body_of_interest_label',) if hidden else ()
+        yield _ArtistSpec(
+            'label', 'other_body_of_interest_label',
+            other.target_ra, other.target_dec,
+            overlays=hide, text=name + '\n',
+        )
+        hide = ('hidden_other_body_of_interest_marker',) if hidden else ()
+        yield _ArtistSpec(
+            'marker', 'other_body_of_interest_marker',
+            other.target_ra, other.target_dec, overlays=hide,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Formatting resolution
+# ---------------------------------------------------------------------------
+@staticmethod
+def _get_wireframe_kw(
+    *,
+    base_formatting: dict[str, Any] | None = None,
+    common_formatting: dict[str, Any] | None = None,
+    formatting: dict[WireframeComponent, dict[str, Any]] | None = None,
+) -> dict[WireframeComponent, dict[str, Any]]:
+    """
+    Resolve per-component matplotlib kwargs by folding the formatting
+    layers lowest-to-highest precedence: base < package defaults
+    ('all' then per-component) < caller common kwargs < caller
+    formatting ('all' then per-component).
+    """
+    formatting = formatting or {}
+    common = {
+        k: v
+        for k, v in (common_formatting or {}).items()
+        if k not in ('show', 'dms_ticks')
+    }
+
+    def layers(component):
+        return (
+            base_formatting or {},
+            DEFAULT_WIREFRAME_FORMATTING.get('all', {}),
+            DEFAULT_WIREFRAME_FORMATTING.get(component, {}),
+            common,
+            formatting.get('all', {}),
+            formatting.get(component, {}),
+        )
+
+    components = DEFAULT_WIREFRAME_FORMATTING.keys() | formatting.keys()
+    resolved = {
+        component: functools.reduce(operator.or_, layers(component), {})
+        for component in components
+    }
+    return defaultdict(dict, resolved)
+
+
+# ---------------------------------------------------------------------------
+# Coordinate helpers
+# ---------------------------------------------------------------------------
 @staticmethod
 def _get_local_affine_transform_matrix(
     coordinate_func: Callable[[float, float], tuple[float, float]],
     location: tuple[float, float],
 ) -> np.ndarray:
-    """Local affine approximation of a coordinate transform at a location."""
+    """
+    First-order (affine) approximation of ``coordinate_func`` around
+    ``location``, from finite differences along each input axis.
+    """
     x0, y0 = location
-    eq1, eq2 = coordinate_func(x0, y0)
-    eq3, eq4 = coordinate_func(x0 + 1.0, y0)
-    eq5, eq6 = coordinate_func(x0, y0 + 1.0)
-    a = eq3 - eq1
-    b = eq5 - eq1
-    c = eq1 - a * x0 - b * y0
-    d = eq4 - eq2
-    e = eq6 - eq2
-    f = eq2 - d * x0 - e * y0
-    return np.array([[a, b, c], [d, e, f], [0.0, 0.0, 1.0]])
+    origin = np.array(coordinate_func(x0, y0), dtype=float)
+    d_dx = np.array(coordinate_func(x0 + 1.0, y0), dtype=float) - origin
+    d_dy = np.array(coordinate_func(x0, y0 + 1.0), dtype=float) - origin
+    offset = origin - d_dx * x0 - d_dy * y0
+    return np.vstack(
+        [np.column_stack([d_dx, d_dy, offset]), (0.0, 0.0, 1.0)]
+    )
 
 
 def _get_matplotlib_transform(self, coordinate_func, location, ax):
@@ -65,9 +205,7 @@ def _get_matplotlib_transform(self, coordinate_func, location, ax):
     transform = matplotlib.transforms.Affine2D(
         self._get_local_affine_transform_matrix(coordinate_func, location)
     )
-    if ax:
-        transform = transform + ax.transData
-    return transform
+    return transform + ax.transData if ax else transform
 
 
 def matplotlib_radec2km_transform(self, ax=None):
@@ -91,34 +229,68 @@ def matplotlib_radec2angular_transform(self, ax=None, **angular_kwargs):
 
 def matplotlib_angular2radec_transform(self, ax=None, **angular_kwargs):
     return self._get_matplotlib_transform(
-        functools.partial(self.angular2radec, **angular_kwargs), (0.0, 0.0), ax
+        functools.partial(self.angular2radec, **angular_kwargs),
+        (0.0, 0.0),
+        ax,
     )
 
 
-@staticmethod
-def _get_wireframe_kw(
-    *,
-    base_formatting: dict[str, Any] | None = None,
-    common_formatting: dict[str, Any] | None = None,
-    formatting: dict[WireframeComponent, dict[str, Any]] | None = None,
-) -> dict[WireframeComponent, dict[str, Any]]:
-    formatting = formatting or {}
-    base_formatting = base_formatting or {}
-    common_formatting = dict(common_formatting or {})
-    for k in ('show', 'dms_ticks'):
-        common_formatting.pop(k, None)
+def get_poles_to_plot(self) -> list[tuple[float, float, str]]:
+    """
+    Poles to label when plotting: the visible poles as 'N'/'S', or both
+    poles in brackets when neither is visible.
+    """
+    poles = ((0, 90, 'N'), (0, -90, 'S'))
+    visible = [
+        (lon, lat, s)
+        for lon, lat, s in poles
+        if self.test_if_lonlat_visible(lon, lat)
+    ]
+    return visible or [(lon, lat, f'({s})') for lon, lat, s in poles]
 
-    kwargs: dict[WireframeComponent, dict[str, Any]] = defaultdict(dict)
-    for k in set(DEFAULT_WIREFRAME_FORMATTING.keys()) | set(formatting.keys()):
-        kwargs[k] = (
-            base_formatting
-            | DEFAULT_WIREFRAME_FORMATTING.get('all', {})
-            | DEFAULT_WIREFRAME_FORMATTING.get(k, {})
-            | common_formatting
-            | formatting.get('all', {})
-            | formatting.get(k, {})
-        )
-    return kwargs
+
+@staticmethod
+def _add_nans_for_radec_array_wraparounds(
+    ras: Iterable[float], decs: Iterable[float], *, threshold: float = 270.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Break plotted curves (with NaN points) where RA wraps 0<->360."""
+    ras = np.asarray(list(ras), dtype=float)
+    decs = np.asarray(list(decs), dtype=float)
+    if ras.size < 2:
+        return ras, decs
+    with np.errstate(invalid='ignore'):
+        breaks = np.flatnonzero(np.abs(np.diff(ras)) > threshold) + 1
+    return np.insert(ras, breaks, np.nan), np.insert(decs, breaks, np.nan)
+
+
+# ---------------------------------------------------------------------------
+# The renderer
+# ---------------------------------------------------------------------------
+def _make_curve_mapper(coordinate_func, additional_array_func):
+    """
+    Vectorised radec->plot-coords mapping for curve specs, falling back
+    to per-point evaluation for scalar-only ``coordinate_func``s
+    (user-supplied functions in ``plot_wireframe_custom``).
+    """
+
+    def mapper(ras, decs):
+        ras = np.asarray(ras, dtype=float)
+        decs = np.asarray(decs, dtype=float)
+        try:
+            xs, ys = coordinate_func(ras, decs)
+            xs = np.asarray(xs, dtype=float)
+            ys = np.asarray(ys, dtype=float)
+            if xs.shape != ras.shape:
+                raise TypeError
+        except Exception:
+            pairs = [coordinate_func(ra, dec) for ra, dec in zip(ras, decs)]
+            xs = np.array([p[0] for p in pairs], dtype=float)
+            ys = np.array([p[1] for p in pairs], dtype=float)
+        if additional_array_func is not None:
+            xs, ys = additional_array_func(xs, ys)
+        return np.asarray(xs), np.asarray(ys)
+
+    return mapper
 
 
 def _plot_wireframe(
@@ -141,7 +313,7 @@ def _plot_wireframe(
     alt: float = 0.0,
     **common_formatting,
 ):
-    """Generic wireframe renderer shared by all coordinate-system variants."""
+    """Render the artist specs of a wireframe onto ``ax``."""
     import matplotlib.pyplot as plt
     import matplotlib.transforms
 
@@ -154,145 +326,51 @@ def _plot_wireframe(
         transform += matplotlib.transforms.Affine2D().scale(scale_factor)
     transform += ax.transData
 
+    kw = self._get_wireframe_kw(
+        base_formatting=dict(transform=transform),
+        common_formatting=common_formatting,
+        formatting=formatting,
+    )
+    curve_map = _make_curve_mapper(coordinate_func, additional_array_func)
+
+    renderers = {
+        'curve': lambda xy, fmt, spec: ax.plot(*xy, **fmt),
+        'marker': lambda xy, fmt, spec: ax.scatter(*xy, **fmt),
+        'label': lambda xy, fmt, spec: ax.text(*xy, spec.text, **fmt),
+    }
+
     with _AdjustedSurfaceAltitude(self, alt):
-
-        def array_func(ras, decs):
-            ras = np.asarray(ras, dtype=float)
-            decs = np.asarray(decs, dtype=float)
-            try:
-                xs, ys = coordinate_func(ras, decs)
-                xs = np.asarray(xs, dtype=float)
-                ys = np.asarray(ys, dtype=float)
-                if xs.shape != ras.shape:
-                    raise TypeError
-            except Exception:
-                xs, ys = zip(
-                    *(coordinate_func(ra, dec) for ra, dec in zip(ras, decs))
-                )
-                xs = np.asarray(xs, dtype=float)
-                ys = np.asarray(ys, dtype=float)
-            if additional_array_func is not None:
-                xs, ys = additional_array_func(xs, ys)
-            return np.asarray(xs), np.asarray(ys)
-
-        kwargs = self._get_wireframe_kw(
-            base_formatting=dict(transform=transform),
-            common_formatting=common_formatting,
-            formatting=formatting,
-        )
-
-        lons = np.arange(0, 360, grid_interval)
-        for lon, (ra, dec) in zip(
-            lons,
-            self.visible_lon_grid_radec(
-                lons, lat_limit=grid_lat_limit,
-                planetocentric=planetocentric_grid,
-            ),
+        for spec in _wireframe_artists(
+            self,
+            grid_interval=grid_interval,
+            grid_lat_limit=grid_lat_limit,
+            planetocentric_grid=planetocentric_grid,
+            indicate_equator=indicate_equator,
+            indicate_prime_meridian=indicate_prime_meridian,
+            label_poles=label_poles,
         ):
-            ax.plot(
-                *array_func(ra, dec),
-                **kwargs['grid']
-                | (
-                    kwargs['prime_meridian']
-                    if lon == 0 and indicate_prime_meridian
-                    else {}
-                ),
+            fmt = functools.reduce(
+                operator.or_,
+                (kw[o] for o in spec.overlays),
+                dict(kw[spec.component]),
             )
-        lats = [
-            float(lat)
-            for lat in np.arange(-90, 90, grid_interval)
-            if abs(lat) <= grid_lat_limit
-        ]
-        for lat, (ra, dec) in zip(
-            lats,
-            self.visible_lat_grid_radec(
-                lats, lat_limit=grid_lat_limit,
-                planetocentric=planetocentric_grid,
-            ),
-        ):
-            ax.plot(
-                *array_func(ra, dec),
-                **kwargs['grid']
-                | (kwargs['equator'] if lat == 0 and indicate_equator else {}),
+            xy = (
+                curve_map(spec.ras, spec.decs)
+                if spec.is_curve
+                else coordinate_func(spec.ras, spec.decs)
             )
-
-        ax.plot(*array_func(*self.limb_radec()), **kwargs['limb'])
-        ax.plot(*array_func(*self.terminator_radec()), **kwargs['terminator'])
-
-        ra_day, dec_day, ra_night, dec_night = self.limb_radec_by_illumination()
-        ax.plot(*array_func(ra_day, dec_day), **kwargs['limb_illuminated'])
-
-        if label_poles:
-            for lon, lat, s in self.get_poles_to_plot():
-                x, y = coordinate_func(
-                    *self.lonlat2radec(lon, lat, not_visible_nan=False)
-                )
-                ax.text(x, y, s, **kwargs['pole'])
-
-        for lon, lat in self.coordinates_of_interest_lonlat:
-            if self.test_if_lonlat_visible(lon, lat):
-                x, y = coordinate_func(
-                    *self.lonlat2radec(lon, lat, not_visible_nan=False)
-                )
-                ax.scatter(x, y, **kwargs['coordinate_of_interest_lonlat'])
-        for ra, dec in self.coordinates_of_interest_radec:
-            ax.scatter(
-                *coordinate_func(ra, dec),
-                **kwargs['coordinate_of_interest_radec'],
-            )
-
-        for radius in self.ring_radii:
-            x, y = array_func(*self.ring_radec(radius))
-            ax.plot(x, y, **kwargs['ring'])
-
-        for body in self.other_bodies_of_interest:
-            x, y = coordinate_func(body.target_ra, body.target_dec)
-            label = body.target
-            hidden = not self.test_if_other_body_visible(body)
-            if hidden:
-                label = f'({label})'
-            ax.text(
-                x, y, label + '\n',
-                **kwargs['other_body_of_interest_label']
-                | (
-                    kwargs['hidden_other_body_of_interest_label']
-                    if hidden else {}
-                ),
-            )
-            ax.scatter(
-                x, y,
-                **kwargs['other_body_of_interest_marker']
-                | (
-                    kwargs['hidden_other_body_of_interest_marker']
-                    if hidden else {}
-                ),
-            )
+            renderers[spec.kind](xy, fmt, spec)
 
         if add_title:
             ax.set_title(self.get_description(multiline=True))
         if aspect_adjustable is not None:
             ax.set_aspect(1, adjustable=aspect_adjustable)
-        return ax
+    return ax
 
 
-@staticmethod
-def _add_nans_for_radec_array_wraparounds(
-    ras: Iterable[float], decs: Iterable[float], *, threshold: float = 270.0
-) -> tuple[np.ndarray, np.ndarray]:
-    """Insert NaNs wherever RA wraps between 0 and 360 (for plotting)."""
-    ra_out: list[float] = []
-    dec_out: list[float] = []
-    ra_prev = np.nan
-    for ra, dec in zip(ras, decs):
-        if abs(ra - ra_prev) > threshold:
-            ra_out.append(np.nan)
-            dec_out.append(np.nan)
-        ra_out.append(ra)
-        dec_out.append(dec)
-        ra_prev = ra
-    return np.array(ra_out), np.array(dec_out)
-
-
+# ---------------------------------------------------------------------------
+# Public coordinate-system variants
+# ---------------------------------------------------------------------------
 def plot_wireframe_radec(
     self,
     ax=None,
@@ -310,11 +388,7 @@ def plot_wireframe_radec(
 
     from . import utils
 
-    if dms_ticks is None:
-        dms_ticks = scale_factor is None
-    if add_axis_labels is None:
-        add_axis_labels = scale_factor is None
-
+    unscaled = scale_factor is None
     if use_shifted_meridian:
         coordinate_func = lambda ra, dec: ((ra + 180.0) % 360.0 - 180.0, dec)
     else:
@@ -332,8 +406,10 @@ def plot_wireframe_radec(
     utils.format_radec_axes(
         ax,
         self.target_dec,
-        dms_ticks=dms_ticks,
-        add_axis_labels=add_axis_labels,
+        dms_ticks=unscaled if dms_ticks is None else dms_ticks,
+        add_axis_labels=(
+            unscaled if add_axis_labels is None else add_axis_labels
+        ),
         aspect_adjustable=aspect_adjustable,
     )
     if show:
@@ -354,8 +430,6 @@ def plot_wireframe_km(
     """Wireframe plot in target-plane km coordinates."""
     import matplotlib.pyplot as plt
 
-    if add_axis_labels is None:
-        add_axis_labels = scale_factor is None
     ax = self._plot_wireframe(
         coordinate_func=self.radec2km,
         scale_factor=scale_factor,
@@ -364,7 +438,7 @@ def plot_wireframe_km(
         ax=ax,
         **wireframe_kwargs,
     )
-    if add_axis_labels:
+    if add_axis_labels or (add_axis_labels is None and scale_factor is None):
         ax.set_xlabel('Projected distance (km)')
         ax.set_ylabel('Projected distance (km)')
         ax.ticklabel_format(style='sci', scilimits=(-3, 3))
@@ -389,11 +463,11 @@ def plot_wireframe_angular(
     """Wireframe plot in relative angular coordinates."""
     import matplotlib.pyplot as plt
 
-    if add_axis_labels is None:
-        add_axis_labels = scale_factor is None
     ax = self._plot_wireframe(
-        coordinate_func=lambda ra, dec: self.radec2angular(
-            ra, dec, origin_ra=origin_ra, origin_dec=origin_dec,
+        coordinate_func=functools.partial(
+            self.radec2angular,
+            origin_ra=origin_ra,
+            origin_dec=origin_dec,
             coordinate_rotation=coordinate_rotation,
         ),
         scale_factor=scale_factor,
@@ -402,7 +476,7 @@ def plot_wireframe_angular(
         ax=ax,
         **wireframe_kwargs,
     )
-    if add_axis_labels:
+    if add_axis_labels or (add_axis_labels is None and scale_factor is None):
         ax.set_xlabel('Angular distance (arcsec)')
         ax.set_ylabel('Angular distance (arcsec)')
     if show:
@@ -420,10 +494,8 @@ def plot_wireframe_custom(
     **wireframe_kwargs,
 ):
     """Wireframe plot in a user-defined coordinate system."""
-    if coordinate_func is None:
-        coordinate_func = lambda ra, dec: (ra, dec)
     return self._plot_wireframe(
-        coordinate_func=coordinate_func,
+        coordinate_func=coordinate_func or (lambda ra, dec: (ra, dec)),
         scale_factor=None,
         transform=transform,
         aspect_adjustable=None,
@@ -433,28 +505,28 @@ def plot_wireframe_custom(
     )
 
 
-# Attach everything to Body
-for _name, _obj in list(globals().items()):
-    if _name.startswith('_') and not _name.startswith('__') or _name in (
-        'get_poles_to_plot',
-        'matplotlib_radec2km_transform',
-        'matplotlib_km2radec_transform',
-        'matplotlib_radec2angular_transform',
-        'matplotlib_angular2radec_transform',
-        'plot_wireframe_radec',
-        'plot_wireframe_km',
-        'plot_wireframe_angular',
-        'plot_wireframe_custom',
+def _attach() -> None:
+    for name, obj in (
+        ('get_poles_to_plot', get_poles_to_plot),
+        ('_get_local_affine_transform_matrix',
+         _get_local_affine_transform_matrix),
+        ('_get_matplotlib_transform', _get_matplotlib_transform),
+        ('matplotlib_radec2km_transform', matplotlib_radec2km_transform),
+        ('matplotlib_km2radec_transform', matplotlib_km2radec_transform),
+        ('matplotlib_radec2angular_transform',
+         matplotlib_radec2angular_transform),
+        ('matplotlib_angular2radec_transform',
+         matplotlib_angular2radec_transform),
+        ('_get_wireframe_kw', _get_wireframe_kw),
+        ('_plot_wireframe', _plot_wireframe),
+        ('_add_nans_for_radec_array_wraparounds',
+         _add_nans_for_radec_array_wraparounds),
+        ('plot_wireframe_radec', plot_wireframe_radec),
+        ('plot_wireframe_km', plot_wireframe_km),
+        ('plot_wireframe_angular', plot_wireframe_angular),
+        ('plot_wireframe_custom', plot_wireframe_custom),
     ):
-        if callable(_obj) or isinstance(_obj, staticmethod):
-            if _name in (
-                'get_poles_to_plot', '_get_local_affine_transform_matrix',
-                '_get_matplotlib_transform', 'matplotlib_radec2km_transform',
-                'matplotlib_km2radec_transform',
-                'matplotlib_radec2angular_transform',
-                'matplotlib_angular2radec_transform', '_get_wireframe_kw',
-                '_plot_wireframe', '_add_nans_for_radec_array_wraparounds',
-                'plot_wireframe_radec', 'plot_wireframe_km',
-                'plot_wireframe_angular', 'plot_wireframe_custom',
-            ):
-                setattr(Body, _name, _obj)
+        setattr(Body, name, obj)
+
+
+_attach()

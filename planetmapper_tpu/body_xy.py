@@ -667,6 +667,7 @@ class BodyXY(Body):
         smooth_oversample_by: int = 5,
         smooth_max_oversampled_img_size: int = 10_000,
         as_numpy: bool = False,
+        fetch_dtype=None,
         **map_kwargs,
     ) -> np.ndarray:
         """
@@ -687,14 +688,30 @@ class BodyXY(Body):
         Pass ``as_numpy=True`` for an eager numpy result. All modes
         (including 'smooth') run device-resident for both single frames
         and cubes; the no-device fallback always returns numpy.
+
+        ``fetch_dtype`` (device paths only): cast the result on device
+        before it is fetched/returned - e.g. ``np.float16`` halves the
+        device->host transfer of a synchronous ``as_numpy=True`` call,
+        which dominates its latency on remote-TPU transports, at ~1e-3
+        relative precision (display/preview grade).
         """
-        img = np.asarray(img)
         use_device = os.environ.get(
             'PLANETMAPPER_TPU_MAP_DEVICE', 'on'
         ).lower() not in ('off', '0', 'false')
         spline_k = {'linear': 1, 'quadratic': 2, 'cubic': 3}
         if interpolation in spline_k:
             interpolation = spline_k[interpolation]  # type: ignore[assignment]
+        if not (
+            use_device
+            and interpolation in ('nearest', 1, 2, 3)
+            and not isinstance(img, np.ndarray)
+            and hasattr(img, 'ndim') and hasattr(img, 'dtype')
+        ):
+            # Device-resident inputs stay on device for the device
+            # spline/nearest paths (np.asarray here would fetch them
+            # back to the host - a synchronous round trip per frame);
+            # everything else normalises to numpy.
+            img = np.asarray(img)
 
         if img.ndim == 3 and not use_device:
             # device disabled: host per-frame fallback loop (always
@@ -725,26 +742,36 @@ class BodyXY(Body):
 
         from .ops import interp
 
+        def finalise(out):
+            # device-path epilogue: optional on-device downcast (halves
+            # the D2H bytes of a synchronous fetch), then the requested
+            # host/device residency
+            if fetch_dtype is not None and not isinstance(out, np.ndarray):
+                out = out.astype(fetch_dtype)
+            if as_numpy and not isinstance(out, np.ndarray):
+                out = np.asarray(out)
+            return out
+
         if interpolation == 'nearest':
             if use_device:
                 from .ops import interp_device
 
-                return interp_device.nearest_interpolation_device(
-                    img, x_map, y_map, as_numpy=as_numpy
-                )
+                return finalise(interp_device.nearest_interpolation_device(
+                    img, x_map, y_map, as_numpy=False
+                ))
             projected = self._make_empty_map(**map_kwargs)
             interp.nearest_interpolation(img, x_map, y_map, projected)
         elif isinstance(interpolation, (int, tuple)):
             if use_device:
                 from .ops import interp_device
 
-                return interp_device.spline_interpolation_device(
+                return finalise(interp_device.spline_interpolation_device(
                     img, x_map, y_map,
                     interpolation=interpolation, warn_nan=warn_nan,
                     propagate_nan=propagate_nan,
                     spline_smoothing=spline_smoothing,
-                    as_numpy=as_numpy,
-                )
+                    as_numpy=False,
+                ))
             projected = self._make_empty_map(**map_kwargs)
             interp.spline_interpolation(
                 img, x_map, y_map, projected,
@@ -756,13 +783,13 @@ class BodyXY(Body):
             if use_device:
                 from .ops import pchip_device
 
-                return pchip_device.smooth_interpolation_device(
+                return finalise(pchip_device.smooth_interpolation_device(
                     img, x_map, y_map,
                     propagate_nan=propagate_nan,
                     oversample_by=smooth_oversample_by,
                     max_oversampled_img_size=smooth_max_oversampled_img_size,
-                    as_numpy=as_numpy,
-                )
+                    as_numpy=False,
+                ))
             projected = self._make_empty_map(**map_kwargs)
             interp.smooth_interpolation(
                 img, x_map, y_map, projected,

@@ -35,6 +35,37 @@ import numpy as np
 _XY_CACHE: dict[tuple, tuple] = {}
 _XY_CACHE_MAX = 8
 
+#: staged basis/index/flag channels for the Pallas map evaluator,
+#: cached per (map coordinates, spline configuration): they depend on
+#: the sample positions and knots, not the image, so a frame stream
+#: stages once (see ops/map_pallas.py)
+_STAGED_CACHE: dict[tuple, tuple] = {}
+_STAGED_CACHE_MAX = 8
+
+
+def _staged_channels(x_map, y_map, ty, tx, kx: int, ky: int,
+                     propagate_nan: bool, ny_i: int, nx_i: int,
+                     knots_key):
+    key = (
+        x_map.ctypes.data, y_map.ctypes.data, x_map.shape, y_map.shape,
+        knots_key, kx, ky, propagate_nan,
+    )
+    hit = _STAGED_CACHE.get(key)
+    if hit is not None:
+        return hit[:3]
+    from .map_pallas import stage_samples
+
+    x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
+    by, bx, aux = stage_samples(
+        ty, tx, kx, ky, propagate_nan, y_dev, x_dev, valid_dev,
+        ny_i, nx_i,
+    )
+    if len(_STAGED_CACHE) >= _STAGED_CACHE_MAX:
+        _STAGED_CACHE.pop(next(iter(_STAGED_CACHE)))
+    # keep the host maps alive: they pin the data pointers in `key`
+    _STAGED_CACHE[key] = (by, bx, aux, x_map, y_map)
+    return by, bx, aux
+
 
 def _device_xy(x_map: np.ndarray, y_map: np.ndarray):
     """
@@ -479,7 +510,8 @@ def _make_onehot_eval(kx: int, ky: int, batched: bool,
 @functools.lru_cache(maxsize=None)
 def _spline_eval_onehot_fn(kx: int, ky: int, batched: bool,
                            propagate_nan: bool,
-                           out_shape: tuple | None = None):
+                           out_shape: tuple | None = None,
+                           use_pallas: bool = False):
     """
     Jitted gather-free spline evaluator (MXU formulation).
 
@@ -500,7 +532,14 @@ def _spline_eval_onehot_fn(kx: int, ky: int, batched: bool,
     import jax
     import jax.numpy as jnp
 
-    eval_all = _make_onehot_eval(kx, ky, batched, propagate_nan, out_shape)
+    if use_pallas:
+        from .map_pallas import make_pallas_eval
+
+        eval_all = make_pallas_eval(kx, ky, batched, propagate_nan)
+    else:
+        eval_all = _make_onehot_eval(
+            kx, ky, batched, propagate_nan, out_shape
+        )
 
     def fn(ty, tx, c, nans, y, x, valid):
         n_cy = ty.shape[0] - ky - 1
@@ -578,7 +617,8 @@ def _grid_spline_solver(ny: int, nx: int, kx: int, ky: int):
 @functools.lru_cache(maxsize=None)
 def _spline_solve_eval_fn(kx: int, ky: int, batched: bool,
                           propagate_nan: bool,
-                          out_shape: tuple | None = None):
+                          out_shape: tuple | None = None,
+                          use_pallas: bool = False):
     """
     Jitted end-to-end map-reprojection program: NaN infill, collocation
     solve (two small matmuls against the staged inverses) and the
@@ -592,25 +632,46 @@ def _spline_solve_eval_fn(kx: int, ky: int, batched: bool,
     import jax.numpy as jnp
     from jax import lax
 
-    eval_all = _make_onehot_eval(kx, ky, batched, propagate_nan, out_shape)
+    if use_pallas:
+        # Staged-channel variant: the jitted program takes the cached
+        # basis/index channels instead of raw sample coordinates, so
+        # the per-frame work is infill + collocation solve + the Pallas
+        # contraction only.
+        from .map_pallas import make_pallas_eval_staged
 
-    def fn(ty, tx, ainv_y, ainv_x, frames, y, x, valid):
+        assert out_shape is not None
+        n_samples = out_shape[0] * out_shape[1]
+        eval_staged = make_pallas_eval_staged(
+            kx, ky, batched, propagate_nan, n_samples
+        )
+    else:
+        eval_all = _make_onehot_eval(
+            kx, ky, batched, propagate_nan, out_shape
+        )
+
+    def _solve(ainv_y, ainv_x, frames):
         def prep(frame):
             cleaned, nans = _infill_device(jnp, frame)
             c2 = jnp.matmul(
-                ainv_y,
+                ainv_y.astype(frame.dtype),
                 jnp.matmul(
-                    cleaned, ainv_x.T, precision=lax.Precision.HIGHEST
+                    cleaned, ainv_x.T.astype(frame.dtype),
+                    precision=lax.Precision.HIGHEST,
                 ),
                 precision=lax.Precision.HIGHEST,
             )
             return c2.astype(jnp.float32), nans.astype(jnp.float32)
 
-        if batched:
-            c2, nanf = jax.vmap(prep)(frames)
-        else:
-            c2, nanf = prep(frames)
-        return eval_all(ty, tx, c2, nanf, y, x, valid)
+        return jax.vmap(prep)(frames) if batched else prep(frames)
+
+    if use_pallas:
+        def fn(ainv_y, ainv_x, frames, by, bx, aux):
+            c2, nanf = _solve(ainv_y, ainv_x, frames)
+            return eval_staged(c2, nanf, by, bx, aux)
+    else:
+        def fn(ty, tx, ainv_y, ainv_x, frames, y, x, valid):
+            c2, nanf = _solve(ainv_y, ainv_x, frames)
+            return eval_all(ty, tx, c2, nanf, y, x, valid)
 
     return jax.jit(fn)
 
@@ -726,16 +787,38 @@ def spline_interpolation_device(
                         'Warning, image contains NaN values which will '
                         'be corrected'
                     )
+        from .map_pallas import pallas_map_supported
+
+        # s=0 interpolation: one coefficient per data point per axis
+        use_pallas = (
+            pallas_map_supported(kx, ky, ny_i, nx_i, ny_i, nx_i)
+            and x_map.ndim == 2
+        )
+        # On TPU the frame uploads/solves in f32: there is no hardware
+        # f64 (emulated matmuls + a 2x bigger transfer for ~1e-7 relative
+        # coefficient precision the f32 evaluation cannot use anyway).
+        # CPU keeps f64 end-to-end.
+        cpu = jax.default_backend() == 'cpu'
         ty, tx, ainv_y, ainv_x = _grid_spline_solver(ny_i, nx_i, kx, ky)
         fn = _spline_solve_eval_fn(
             kx, ky, cube, propagate_nan,
             tuple(x_map.shape) if x_map.ndim == 2 else None,
+            use_pallas=use_pallas,
         )
-        vals = fn(
-            ty, tx, ainv_y, ainv_x,
-            jnp.asarray(img, dtype=jnp.float64), y_dev, x_dev,
-            valid_dev,
+        frames_dev = jnp.asarray(
+            img, dtype=jnp.float64 if cpu else jnp.float32
         )
+        if use_pallas:
+            by, bx, aux = _staged_channels(
+                x_map, y_map, ty, tx, kx, ky, propagate_nan,
+                ny_i, nx_i, knots_key=('s0-grid', ny_i, nx_i, kx, ky),
+            )
+            vals = fn(ainv_y, ainv_x, frames_dev, by, bx, aux)
+        else:
+            vals = fn(
+                ty, tx, ainv_y, ainv_x, frames_dev,
+                y_dev, x_dev, valid_dev,
+            )
         vals = vals.reshape(img.shape[:-2] + x_map.shape)
         if not propagate_nan:
             # Host semantics: a frame with no finite values maps to NaN
@@ -758,6 +841,13 @@ def spline_interpolation_device(
         n_cy = ty.shape[0] - ky - 1
         n_cx = tx.shape[0] - kx - 1
         out_shape = tuple(x_map.shape) if x_map.ndim == 2 else None
+        from .map_pallas import pallas_map_supported
+
+        if pallas_map_supported(kx, ky, n_cy, n_cx, ny_i, nx_i):
+            return _spline_eval_onehot_fn(
+                kx, ky, batched, propagate_nan, out_shape,
+                use_pallas=True,
+            )
         # The tiled-window contraction keeps the one-hot (MXU) evaluator
         # viable for arbitrarily large coefficient grids: weight matrices
         # are window-wide, not grid-wide. The predicate MUST be the same
@@ -770,6 +860,11 @@ def spline_interpolation_device(
                 kx, ky, batched, propagate_nan, out_shape
             )
         return _spline_eval_fn(kx, ky, batched, propagate_nan)
+
+    # host-FITPACK branch (smoothing / very large grids): numpy-side
+    # per-frame solves, so materialise device-resident inputs up front
+    img = np.asarray(img)
+    frames = img if cube else img[None]
 
     results = np.full((nz,) + x_map.shape, np.nan)
     coeffs: list[np.ndarray] = []

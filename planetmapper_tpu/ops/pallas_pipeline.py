@@ -262,8 +262,10 @@ def build_pallas_pipeline(
                 f'pallas pipeline needs ny%{band_rows}==0, '
                 f'nx%{col_tile}==0, got {ny}x{nx}'
             )
-        if row0 != 0.0:
-            raise ValueError('pallas pipeline computes whole frames')
+        # ``row0`` (static or traced) offsets the absolute pixel-row
+        # coordinate: row-sharded execution (parallel/sharding.py) runs
+        # this kernel per device on its block of rows.
+        row0 = jnp.asarray(row0, dtype=jnp.float64)
 
         # ================= XLA preamble: scene scalars (f64) =============
         # Mirrors pipeline._mixed_impl_fn's preamble; see the error-budget
@@ -289,7 +291,7 @@ def build_pallas_pipeline(
 
         # 1D separable ray trig (f64, exact; pipeline.py preamble)
         x1 = lax.iota(jnp.float64, nx)
-        y1 = lax.iota(jnp.float64, ny)
+        y1 = lax.iota(jnp.float64, ny) + row0
         angx_col = xy2angular[0, 0] * x1 + xy2angular[0, 2]
         angx_row = xy2angular[0, 1] * y1
         angy_col = xy2angular[1, 0] * x1 + xy2angular[1, 2]
@@ -415,6 +417,7 @@ def build_pallas_pipeline(
             pk.f32('y0', disc[1])
             r_cut = disc[2] * (jnp.max(radii) / re) * 1.05 + 1.0
             pk.f32('r_cut2', r_cut * r_cut)
+        pk.f32('row0', row0)
 
         scal = pk.array()
         idx = dict(pk.idx)
@@ -428,7 +431,7 @@ def build_pallas_pipeline(
             yg = (
                 lax.broadcasted_iota(jnp.int32, (B, T), 0)
                 + i_band * B
-            ).astype(jnp.float32)
+            ).astype(jnp.float32) + sc.f32('row0')
             xg = (
                 lax.broadcasted_iota(jnp.int32, (B, T), 1)
                 + j_tile * T

@@ -53,43 +53,50 @@ def _pad_to_multiple(n: int, m: int) -> int:
 def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
     """
     Compute all default backplanes with the pixel-row axis sharded across
-    the mesh. The forward geometry pass is communication-free: each device
-    computes its row block of every backplane; results are returned as
-    globally-sharded arrays (an ``all_gather`` happens only if the caller
-    converts to a single host array, mirroring the reference's
+    the mesh. The forward geometry pass is communication-free: each
+    device runs the SAME per-pixel kernel the single-chip path selects
+    (:func:`planetmapper_tpu.pipeline.select_pipeline_impl` - the Mosaic
+    single-kernel pipeline on TPU, the fused XLA graph elsewhere) on its
+    block of rows via ``shard_map``, offset to absolute row coordinates
+    with ``row0 = axis_index * block``. Results are returned as
+    globally-sharded arrays (an ``all_gather`` happens only if the
+    caller converts to a single host array, mirroring the reference's
     backplane-assembly step in FITS export).
     """
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
 
-    from ..pipeline import (
-        DEFAULT_PRECISION,
-        _robust_geodetic,
-        fused_backplanes_fn,
-    )
+    from ..pipeline import _bucket_size, select_pipeline_impl
 
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
     n_shard = mesh.shape[axis]
     nx, ny = body.get_img_size()
-    ny_padded = _pad_to_multiple(ny, n_shard)
+    nx_b = _bucket_size(nx)
+    # Each device's row block must satisfy the kernel's tiling
+    # constraint; probe the gate at the Pallas-friendly block size
+    ny_blk = _pad_to_multiple(-(-ny // n_shard), 64)
+    impl, use_pallas = select_pipeline_impl(body, nx_b, ny_blk)
+    if not use_pallas:
+        ny_blk = -(-ny // n_shard)
+    ny_padded = ny_blk * n_shard
 
     anchors = body._get_pipeline_anchors()
-    impl = fused_backplanes_fn(
-        positive_west=body.positive_longitude_direction == 'W',
-        prograde=body.prograde,
-        have_sun=body._engine._pos_s is not None,
-        optimize_speed=bool(body._optimize_speed),
-        precision=getattr(body, '_pipeline_precision', DEFAULT_PRECISION),
-        robust_geodetic=_robust_geodetic(body),
-    )
 
-    def wrapped(xy2angular, disc, radii, anchors):
-        return impl(nx, ny_padded, xy2angular, disc, radii, anchors)
+    def block_fn(xy2angular, disc, radii, anchors):
+        row0 = (jax.lax.axis_index(axis) * ny_blk).astype(jnp.float64)
+        return impl(
+            nx_b, ny_blk, xy2angular, disc, radii, anchors, row0=row0
+        )
 
-    out_sharding = NamedSharding(mesh, P(axis, None))
-    fn = jax.jit(wrapped, out_shardings=out_sharding)
+    fn = jax.jit(shard_map(
+        block_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(axis, None),
+    ))
 
     out = fn(
         np.asarray(body._get_xy2angular_matrix()),
@@ -97,8 +104,8 @@ def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
         np.asarray(body.radii, dtype=np.float64),
         anchors,
     )
-    if ny_padded != ny:
-        out = {k: v[:ny] for k, v in out.items()}
+    if ny_padded != ny or nx_b != nx:
+        out = {k: v[:ny, :nx] for k, v in out.items()}
     return out
 
 

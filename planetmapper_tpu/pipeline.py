@@ -1413,6 +1413,50 @@ def _robust_geodetic(body) -> bool:
     return bool(abs(radii_host[0] - radii_host[1]) > 1e-9 * radii_host[0])
 
 
+def select_pipeline_impl(body, nx_b: int, ny_b: int,
+                         use_pallas: bool | None = None):
+    """
+    Build the per-pixel pipeline impl for a body at a bucketed shape:
+    ``(impl, use_pallas)`` where ``impl(nx, ny, xy2angular, disc, radii,
+    anchors, row0=...)`` computes all 26 planes for rows ``[row0, row0 +
+    ny)``. This is the single source of kernel selection - the Mosaic
+    single-kernel pipeline on TPU for the shapes it tiles, the fused XLA
+    graph otherwise - shared by :func:`get_fused_pipeline` and the
+    row-sharded multi-chip path (:mod:`.parallel.sharding`).
+    """
+    precision = getattr(body, '_pipeline_precision', DEFAULT_PRECISION)
+    robust_geodetic = _robust_geodetic(body)
+    if use_pallas is None:
+        use_pallas = False
+        if precision == 'mixed' and not robust_geodetic:
+            from .ops.pallas_pipeline import pallas_pipeline_supported
+
+            use_pallas = pallas_pipeline_supported(nx_b, ny_b)
+    if use_pallas:
+        from .ops.pallas_pipeline import build_pallas_pipeline
+
+        impl = build_pallas_pipeline(
+            positive_west=body.positive_longitude_direction == 'W',
+            prograde=body.prograde,
+            have_sun=body._engine._pos_s is not None,
+            optimize_speed=bool(body._optimize_speed),
+            lst_quant=_lst_quantization(),
+            n_lt_iters=int(
+                os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2')
+            ),
+        )
+    else:
+        impl = fused_backplanes_fn(
+            positive_west=body.positive_longitude_direction == 'W',
+            prograde=body.prograde,
+            have_sun=body._engine._pos_s is not None,
+            optimize_speed=bool(body._optimize_speed),
+            precision=precision,
+            robust_geodetic=robust_geodetic,
+        )
+    return impl, use_pallas
+
+
 def get_fused_pipeline(body, nx: int, ny: int):
     """
     Jitted fused pipeline for a body's configuration and image size.
@@ -1454,28 +1498,9 @@ def get_fused_pipeline(body, nx: int, ny: int):
     )
     fn = _PIPELINE_CACHE.get(key)
     if fn is None:
-        if use_pallas:
-            from .ops.pallas_pipeline import build_pallas_pipeline
-
-            impl = build_pallas_pipeline(
-                positive_west=body.positive_longitude_direction == 'W',
-                prograde=body.prograde,
-                have_sun=body._engine._pos_s is not None,
-                optimize_speed=bool(body._optimize_speed),
-                lst_quant=_lst_quantization(),
-                n_lt_iters=int(
-                    os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2')
-                ),
-            )
-        else:
-            impl = fused_backplanes_fn(
-                positive_west=body.positive_longitude_direction == 'W',
-                prograde=body.prograde,
-                have_sun=body._engine._pos_s is not None,
-                optimize_speed=bool(body._optimize_speed),
-                precision=precision,
-                robust_geodetic=robust_geodetic,
-            )
+        impl, _ = select_pipeline_impl(
+            body, nx_b, ny_b, use_pallas=use_pallas
+        )
 
         import jax.numpy as jnp
 

@@ -28,6 +28,26 @@ step "api docs drift" python scripts/generate_api_docs.py --check
 
 if [[ "${1:-}" != "--fast" ]]; then
     step "tests" bash tests/run_tests.sh
+
+    # Hardware gate: when a TPU is reachable, also run the Mosaic-kernel
+    # test suite on it (EFT grade, full-plane Pallas-vs-XLA parity, the
+    # Pallas map evaluator, sharded-kernel selection). These auto-skip
+    # on CPU, so without this step a regression in the *product default*
+    # TPU path could land green.
+    if python - <<'PY'
+import sys
+try:
+    import jax
+    sys.exit(0 if jax.default_backend() not in ('cpu',) else 1)
+except Exception:
+    sys.exit(1)
+PY
+    then
+        step "tpu kernel tests" env PLANETMAPPER_TPU_TEST_BACKEND=tpu \
+            python -m pytest tests/test_pallas_core.py -q
+    else
+        echo "=== tpu kernel tests: skipped (no TPU backend) ==="
+    fi
 fi
 
 if [[ $status -eq 0 ]]; then

@@ -222,3 +222,111 @@ class TestPallasPipelineParity:
                 assert d.max() <= atol + 1e-9, f'{name}: {d.max()}'
             else:
                 assert d.max() <= atol, f'{name}: {d.max():.3e}'
+
+
+@requires_tpu
+class TestPallasMapEvalOnTpu:
+    """The Mosaic map-evaluation kernel vs the XLA one-hot evaluator."""
+
+    def test_spline_device_parity(self):
+        import os
+
+        from planetmapper_tpu.ops import interp_device
+        from planetmapper_tpu.ops.map_pallas import pallas_map_supported
+
+        assert pallas_map_supported(3, 3, 150, 150, 150, 150)
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(150, 150))
+        img[40:44, 50:53] = np.nan
+        x = rng.uniform(-10, 160, (360, 720))
+        y = rng.uniform(-10, 160, (360, 720))
+        out = np.asarray(interp_device.spline_interpolation_device(
+            img, x, y, interpolation=3, warn_nan=False,
+            propagate_nan=True, spline_smoothing=0, as_numpy=False,
+        ))
+        os.environ['PLANETMAPPER_TPU_MAP_PALLAS'] = '0'
+        try:
+            ref = np.asarray(interp_device.spline_interpolation_device(
+                img, x, y, interpolation=3, warn_nan=False,
+                propagate_nan=True, spline_smoothing=0, as_numpy=False,
+            ))
+        finally:
+            os.environ.pop('PLANETMAPPER_TPU_MAP_PALLAS')
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        both = ~np.isnan(ref)
+        scale = np.nanmax(np.abs(ref))
+        assert np.max(np.abs(out[both] - ref[both])) < 3e-5 * max(
+            scale, 1.0
+        )
+
+
+@requires_tpu
+class TestShardedPallasPipeline:
+    """Row-sharded execution runs the Mosaic kernel per device."""
+
+    def test_selection_picks_pallas(self):
+        from planetmapper_tpu import BodyXY
+        from planetmapper_tpu.pipeline import select_pipeline_impl
+
+        body = BodyXY(
+            'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00',
+            sz=256,
+        )
+        _, use_pallas = select_pipeline_impl(body, 256, 256)
+        assert use_pallas
+
+    def test_sharded_matches_single_chip(self):
+        from planetmapper_tpu import BodyXY
+        from planetmapper_tpu.parallel import make_mesh, sharded_backplanes
+        from planetmapper_tpu.pipeline import compute_backplanes
+
+        size = 256
+        body = BodyXY(
+            'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00',
+            sz=size,
+        )
+        body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
+        mesh = make_mesh(1, ('px',))
+        out = sharded_backplanes(body, mesh)
+        ref = compute_backplanes(body, as_numpy=True)
+        for name, plane in ref.items():
+            got = np.asarray(out[name])
+            # same Mosaic kernel, same shapes, row0=0: bit-identical
+            assert np.array_equal(got, plane, equal_nan=True), name
+
+    def test_row0_offsets_match_full_frame(self):
+        # Two half-frame runs with row0 offsets reproduce the full frame:
+        # the semantics the row-sharded path relies on per device.
+        import jax
+
+        from planetmapper_tpu import BodyXY
+        from planetmapper_tpu.pipeline import select_pipeline_impl
+
+        size = 256
+        body = BodyXY(
+            'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00',
+            sz=size,
+        )
+        body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
+        impl, use_pallas = select_pipeline_impl(body, size, size)
+        assert use_pallas
+        args = (
+            np.asarray(body._get_xy2angular_matrix()),
+            np.asarray(body.get_disc_params(), dtype=np.float64),
+            np.asarray(body.radii, dtype=np.float64),
+            body._get_pipeline_anchors(),
+        )
+        full = jax.jit(lambda *a: impl(size, size, *a))(*args)
+        halves = [
+            jax.jit(
+                lambda *a, r0=r0: impl(size, 128, *a, row0=r0)
+            )(*args)
+            for r0 in (0.0, 128.0)
+        ]
+        for name, plane in full.items():
+            got = np.concatenate(
+                [np.asarray(h[name]) for h in halves], axis=0
+            )
+            assert np.array_equal(
+                got, np.asarray(plane), equal_nan=True
+            ), name

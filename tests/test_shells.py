@@ -1169,3 +1169,109 @@ class TestDeviceSmooth:
             max_oversampled_img_size=10000,
         )
         assert np.all(np.isnan(out))
+
+
+class TestPallasMapEval:
+    """
+    The Pallas map-evaluation kernel (ops/map_pallas.py) in interpret
+    mode: exact-contract parity with scipy and the host/XLA paths. Real
+    Mosaic execution is covered by tests/test_pallas_core.py on TPU.
+    """
+
+    def _eval(self, kx, ky, batched, propagate_nan, ty, tx, c2, nanf,
+              y, x, valid):
+        import jax.numpy as jnp
+
+        from planetmapper_tpu.ops import map_pallas
+
+        ev = map_pallas.make_pallas_eval(
+            kx, ky, batched, propagate_nan, interpret=True
+        )
+        return np.asarray(ev(
+            jnp.asarray(ty), jnp.asarray(tx),
+            jnp.asarray(c2, jnp.float32), jnp.asarray(nanf, jnp.float32),
+            jnp.asarray(y), jnp.asarray(x), jnp.asarray(valid),
+        ))
+
+    @pytest.mark.parametrize('kxy', [(1, 1), (3, 3), (3, 1), (2, 2)])
+    def test_scipy_parity(self, kxy):
+        import scipy.interpolate
+
+        ky, kx = kxy
+        rng = np.random.default_rng(3)
+        ny_i, nx_i = 20, 24
+        img = rng.normal(size=(ny_i, nx_i))
+        x = rng.uniform(-5, 28, 400)
+        y = rng.uniform(-5, 24, 400)
+        sp = scipy.interpolate.RectBivariateSpline(
+            np.arange(ny_i), np.arange(nx_i), img, kx=ky, ky=kx, s=0
+        )
+        ty, tx = sp.get_knots()
+        c2 = sp.get_coeffs().reshape(len(ty) - ky - 1, len(tx) - kx - 1)
+        out = self._eval(
+            kx, ky, False, False, ty, tx, c2,
+            np.zeros((ny_i, nx_i)), y, x, np.ones(400, bool),
+        )
+        # .ev evaluates clamped into the grid, like the kernel
+        np.testing.assert_allclose(out, sp.ev(y, x), atol=2e-5)
+
+    def test_nan_propagation_matches_host(self):
+        from planetmapper_tpu.ops import interp
+        from planetmapper_tpu.ops.interp_device import _fitpack_coeffs
+
+        rng = np.random.default_rng(5)
+        ny_i, nx_i = 30, 26
+        img = rng.normal(size=(ny_i, nx_i))
+        img[rng.uniform(size=img.shape) < 0.05] = np.nan
+        S = 500
+        x = rng.uniform(-2, nx_i + 2, S)
+        y = rng.uniform(-2, ny_i + 2, S)
+        # exact-integer coordinates exercise the floor==ceil edge
+        x[:50] = rng.integers(0, nx_i, 50)
+        y[:50] = rng.integers(0, ny_i, 50)
+        ref = np.full((1, S), np.nan)
+        interp.spline_interpolation(
+            img, x.reshape(1, -1), y.reshape(1, -1), ref,
+            interpolation=3, warn_nan=False, propagate_nan=True,
+            spline_smoothing=0,
+        )
+        ty, tx, c = _fitpack_coeffs(img, 3, 3, 0, False)
+        out = self._eval(
+            3, 3, False, True, ty, tx,
+            c.reshape(len(ty) - 4, len(tx) - 4), np.isnan(img),
+            y, x, np.ones(S, bool),
+        )
+        ref = ref.ravel()
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        np.testing.assert_allclose(out, ref, atol=2e-5, equal_nan=True)
+
+    def test_batched_frames(self):
+        import scipy.interpolate
+
+        from planetmapper_tpu.ops.interp_device import _fitpack_coeffs
+
+        rng = np.random.default_rng(7)
+        ny_i, nx_i = 16, 18
+        S = 300
+        x = rng.uniform(0, nx_i - 1, S)
+        y = rng.uniform(0, ny_i - 1, S)
+        imgs = rng.normal(size=(3, ny_i, nx_i))
+        c2s = []
+        for frame in imgs:
+            ty, tx, c = _fitpack_coeffs(frame, 3, 3, 0, False)
+            c2s.append(c.reshape(len(ty) - 4, len(tx) - 4))
+        out = self._eval(
+            3, 3, True, True, ty, tx, np.stack(c2s),
+            np.zeros((3, ny_i, nx_i)), y, x, np.ones(S, bool),
+        )
+        for f, frame in enumerate(imgs):
+            sp = scipy.interpolate.RectBivariateSpline(
+                np.arange(ny_i), np.arange(nx_i), frame, kx=3, ky=3, s=0
+            )
+            np.testing.assert_allclose(out[f], sp.ev(y, x), atol=2e-5)
+
+    def test_gate_off_on_cpu(self):
+        from planetmapper_tpu.ops.map_pallas import pallas_map_supported
+
+        # CPU backend (the test environment) must keep the XLA path
+        assert not pallas_map_supported(3, 3, 150, 150, 150, 150)
