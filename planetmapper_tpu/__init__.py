@@ -98,10 +98,18 @@ def _default_cache_dir() -> str:
     # service (e.g. the axon TPU plugin) store CPU AOT entries compiled
     # on the REMOTE machine's microarchitecture - those must not be
     # shared with locally-compiling CPU sessions on the same host.
+    # No hostname in the key: the microarchitecture (cpuinfo flags,
+    # below) is what decides AOT-entry compatibility, and containers on
+    # the same machine should share a cache (cold compiles cost tens of
+    # seconds through a remote-compile TPU transport).
     key = (
-        f'{jax.__version__}-{platform.node()}-{platform.machine()}'
+        f'{jax.__version__}-{platform.machine()}'
         f"-{_os.environ.get('JAX_PLATFORMS', '')}"
         f"-{_os.environ.get('PALLAS_AXON_REMOTE_COMPILE', '')}"
+        # the ISA cap changes the machine features embedded in XLA:CPU
+        # AOT entries - capped and uncapped entries must not mix, or the
+        # loader logs machine-mismatch errors on every reload
+        f"-{_os.environ.get('XLA_FLAGS', '')}"
     )
     try:
         with open('/proc/cpuinfo') as f:

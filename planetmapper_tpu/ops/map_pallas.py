@@ -61,10 +61,16 @@ import sys
 import numpy as np
 
 #: samples per kernel tile (lane-axis length of the transposed weights).
-#: Larger tiles amortise the per-grid-step overhead (measured ~11 us)
-#: over more samples; the staged kernel's VMEM footprint (two weight
-#: matrices + the row product) stays well under budget at 4096.
-_T_S = 4096
+#: Larger tiles amortise the per-grid-step overhead over more samples,
+#: but past 2048 the NaN-propagation ``lax.cond`` stops overlapping with
+#: the next step's DMA and the whole frame serialises (measured on the
+#: 720x1440 smooth map: 3.9 ms at 2048 vs 29.6 ms at 4096 with the cond,
+#: 4.4 ms at 4096 without it). 2048 is fastest with and without NaNs.
+_T_S = int(os.environ.get('PLANETMAPPER_TPU_MAP_TILE', '2048'))
+
+#: skip the NaN contraction at run time via lax.cond on the per-frame
+#: any-NaN flag ('1', default), or always compute it ('0')
+_NAN_COND = os.environ.get('PLANETMAPPER_TPU_MAP_NAN_COND', '1') != '0'
 
 #: padded-dimension ceiling for keeping the coefficient grid + weight
 #: matrices in VMEM; grids bigger than this stay on the XLA evaluator
@@ -305,9 +311,12 @@ def _pallas_eval_fn(kx: int, ky: int, n_frames: int, batched: bool,
             def no_nan():
                 return jnp.zeros((1, T_S), f32)
 
-            cnt = lax.cond(
-                anynan_ref[0] > np.int32(0), with_nan, no_nan
-            )
+            if _NAN_COND:
+                cnt = lax.cond(
+                    anynan_ref[0] > np.int32(0), with_nan, no_nan
+                )
+            else:
+                cnt = with_nan()
             outside = aux[_CH_OUT : _CH_OUT + 1, :] > np.float32(0.5)
             mask = mask & ~outside & (cnt < np.float32(0.5))
         out_ref[0] = jnp.where(mask, val, np.float32(np.nan))

@@ -236,6 +236,7 @@ def build_pallas_pipeline(
     n_lt_iters: int = 2,
     band_rows: int = 64,
     col_tile: int = 128,
+    planes: tuple[str, ...] | None = None,
     interpret: bool = False,
 ):
     """
@@ -243,6 +244,15 @@ def build_pallas_pipeline(
     the same contract as the XLA ``_mixed_impl_fn`` impl, computing all
     26 planes in one Pallas kernel. ``nx``/``ny`` must be multiples of
     ``col_tile``/``band_rows``.
+
+    ``planes`` restricts the kernel to a subset of
+    :data:`PLANE_ORDER`: sections whose outputs (and shared
+    intermediates) are not requested are omitted at trace time. The
+    XLA graph path gets this for free from dead-code elimination; a
+    Mosaic kernel computes what it is built with, so the subset must
+    be chosen here. Used by the section profiler and by callers that
+    stream a few planes at rates where the full set's arithmetic
+    would dominate.
     """
     import jax
     import jax.numpy as jnp
@@ -253,8 +263,19 @@ def build_pallas_pipeline(
     f32 = np.float32
     lon_sign = -1.0 if positive_west else 1.0
     spin_sign = 1.0 if prograde else -1.0
-    NP = len(PLANE_ORDER)
-    P = {name: i for i, name in enumerate(PLANE_ORDER)}
+    requested = (
+        PLANE_ORDER if planes is None
+        else tuple(n for n in PLANE_ORDER if n in planes)
+    )
+    if planes is not None and set(planes) - set(PLANE_ORDER):
+        raise ValueError(
+            f'unknown planes: {sorted(set(planes) - set(PLANE_ORDER))}'
+        )
+    NP = len(requested)
+    P = {name: i for i, name in enumerate(requested)}
+
+    def need(*names: str) -> bool:
+        return any(n in P for n in names)
 
     def impl(nx, ny, xy2angular, disc, radii, anchors, row0=0.0):
         if ny % band_rows or nx % col_tile:
@@ -608,64 +629,82 @@ def build_pallas_pipeline(
             )[0]
 
             # ---- lon/lat (pipeline.py 'lon/lat') -------------------------
-            lon_e = dsk.atan2_ds(spoint[1], spoint[0])
             px32, py32, pz32 = spoint[0][0], spoint[1][0], spoint[2][0]
             rho32 = jnp.sqrt(px32 * px32 + py32 * py32)
             e2_32 = sc.f32('e2')
             ep2_32 = sc.f32('ep2')
             omf32 = sc.f32('omf')
-            lat_gd = _bowring_lat(
-                px32, py32, pz32, rho32, re32, omf32, e2_32, ep2_32
-            )
             inv_deg = f32(1.0 / DEG)
-            lon_deg = dsk.mul_f(lon_e, f32(lon_sign / DEG))
-            lon_graphic = _mod360_ds(lon_deg)
-            out_ref[P['LON-GRAPHIC']] = jnp.where(
-                found, lon_graphic[0], nanv
-            )
-            out_ref[P['LAT-GRAPHIC']] = jnp.where(
-                found, lat_gd * inv_deg, nanv
-            )
-            lon_c = _mod360_ds(dsk.mul_f(lon_e, f32(1.0 / DEG)))
-            out_ref[P['LON-CENTRIC']] = jnp.where(found, lon_c[0], nanv)
-            out_ref[P['LAT-CENTRIC']] = jnp.where(
-                found, dsk.atan2(pz32, rho32) * inv_deg, nanv
-            )
+            if need('LON-GRAPHIC', 'LON-CENTRIC', 'LOCAL-SOLAR-TIME'):
+                lon_e = dsk.atan2_ds(spoint[1], spoint[0])
+            if 'LON-GRAPHIC' in P:
+                lon_deg = dsk.mul_f(lon_e, f32(lon_sign / DEG))
+                lon_graphic = _mod360_ds(lon_deg)
+                out_ref[P['LON-GRAPHIC']] = jnp.where(
+                    found, lon_graphic[0], nanv
+                )
+            if 'LAT-GRAPHIC' in P:
+                lat_gd = _bowring_lat(
+                    px32, py32, pz32, rho32, re32, omf32, e2_32, ep2_32
+                )
+                out_ref[P['LAT-GRAPHIC']] = jnp.where(
+                    found, lat_gd * inv_deg, nanv
+                )
+            if 'LON-CENTRIC' in P:
+                lon_c = _mod360_ds(dsk.mul_f(lon_e, f32(1.0 / DEG)))
+                out_ref[P['LON-CENTRIC']] = jnp.where(
+                    found, lon_c[0], nanv
+                )
+            if 'LAT-CENTRIC' in P:
+                out_ref[P['LAT-CENTRIC']] = jnp.where(
+                    found, dsk.atan2(pz32, rho32) * inv_deg, nanv
+                )
 
             # ---- RA/Dec: J2000 f32 rays (pipeline.py 'RA/Dec') -----------
             # dd32 = rot0^T @ rdd32 (rot0 orthonormal)
             rot0m = sc.mat('rot0_32')
             rdd32 = [rdd[i][0] for i in range(3)]
-            dj = [
-                rot0m[0][i] * rdd32[0] + rot0m[1][i] * rdd32[1]
-                + rot0m[2][i] * rdd32[2]
-                for i in range(3)
-            ]
-            m0j = sc.vec('m0_32')
-            djx = m0j[0] + dj[0]
-            djy = m0j[1] + dj[1]
-            djz = m0j[2] + dj[2]
-            ra = dsk.atan2(djy, djx)
-            ra = jnp.where(ra < 0.0, ra + f32(2.0 * np.pi), ra)
-            out_ref[P['RA']] = ra * inv_deg
-            out_ref[P['DEC']] = (
-                dsk.atan2(djz, jnp.sqrt(djx * djx + djy * djy)) * inv_deg
-            )
+            if need('RA', 'DEC'):
+                dj = [
+                    rot0m[0][i] * rdd32[0] + rot0m[1][i] * rdd32[1]
+                    + rot0m[2][i] * rdd32[2]
+                    for i in range(3)
+                ]
+                m0j = sc.vec('m0_32')
+                djx = m0j[0] + dj[0]
+                djy = m0j[1] + dj[1]
+                djz = m0j[2] + dj[2]
+                if 'RA' in P:
+                    ra = dsk.atan2(djy, djx)
+                    ra = jnp.where(ra < 0.0, ra + f32(2.0 * np.pi), ra)
+                    out_ref[P['RA']] = ra * inv_deg
+                if 'DEC' in P:
+                    out_ref[P['DEC']] = (
+                        dsk.atan2(djz, jnp.sqrt(djx * djx + djy * djy))
+                        * inv_deg
+                    )
 
             # ---- pixel / km / angular ------------------------------------
-            out_ref[P['PIXEL-X']] = xg
-            out_ref[P['PIXEL-Y']] = yg
-            km_x = dsk.add(rds('kmx'), cds('kmx'))
-            km_y = dsk.add(rds('kmy'), cds('kmy'))
-            out_ref[P['KM-X']] = km_x[0] + jnp.zeros_like(xg)
-            out_ref[P['KM-Y']] = km_y[0] + jnp.zeros_like(xg)
-            inv_kpa = sc.f32('inv_kpa')
-            out_ref[P['ANGULAR-X']] = (
-                km_x[0] * inv_kpa + jnp.zeros_like(xg)
-            )
-            out_ref[P['ANGULAR-Y']] = (
-                km_y[0] * inv_kpa + jnp.zeros_like(xg)
-            )
+            if 'PIXEL-X' in P:
+                out_ref[P['PIXEL-X']] = xg
+            if 'PIXEL-Y' in P:
+                out_ref[P['PIXEL-Y']] = yg
+            if need('KM-X', 'KM-Y', 'ANGULAR-X', 'ANGULAR-Y'):
+                km_x = dsk.add(rds('kmx'), cds('kmx'))
+                km_y = dsk.add(rds('kmy'), cds('kmy'))
+                inv_kpa = sc.f32('inv_kpa')
+                if 'KM-X' in P:
+                    out_ref[P['KM-X']] = km_x[0] + jnp.zeros_like(xg)
+                if 'KM-Y' in P:
+                    out_ref[P['KM-Y']] = km_y[0] + jnp.zeros_like(xg)
+                if 'ANGULAR-X' in P:
+                    out_ref[P['ANGULAR-X']] = (
+                        km_x[0] * inv_kpa + jnp.zeros_like(xg)
+                    )
+                if 'ANGULAR-Y' in P:
+                    out_ref[P['ANGULAR-Y']] = (
+                        km_y[0] * inv_kpa + jnp.zeros_like(xg)
+                    )
 
             # ---- illumination (f32; pipeline.py 'illumination') ----------
             rot1m = sc.mat('rot1_32')
@@ -685,14 +724,22 @@ def build_pallas_pipeline(
                     for i in range(3)
                 ]
 
-            point_j = bf2j(sp32)
             v32 = sc.vec('v32')
-            trel = sc.vec('targ_rel0_32')
-            srfvec = [
-                trel[i] + v32[i] * dtau32 + point_j[i] for i in range(3)
-            ]
-            u_obs = _unit([-srfvec[0], -srfvec[1], -srfvec[2]])
-            if have_sun:
+            need_u_obs = need(
+                'PHASE', 'EMISSION', 'RADIAL-VELOCITY', 'DOPPLER'
+            )
+            need_u_sun = have_sun and need('PHASE', 'INCIDENCE',
+                                           'AZIMUTH')
+            if need_u_obs or need_u_sun:
+                point_j = bf2j(sp32)
+            if need_u_obs:
+                trel = sc.vec('targ_rel0_32')
+                srfvec = [
+                    trel[i] + v32[i] * dtau32 + point_j[i]
+                    for i in range(3)
+                ]
+                u_obs = _unit([-srfvec[0], -srfvec[1], -srfvec[2]])
+            if need_u_sun:
                 tpos = sc.vec('targ_pos0_32')
                 point_ssb = [
                     tpos[i] + v32[i] * dtau32 + point_j[i]
@@ -708,17 +755,25 @@ def build_pallas_pipeline(
                     for i in range(3)
                 ]
                 u_sun = _unit(sun_dir)
-            else:
+            elif need('PHASE', 'INCIDENCE'):
                 u_sun = [jnp.full_like(px32, np.nan)] * 3
-            n_bf = [sp32[i] * (inv_r32[i] * inv_r32[i]) for i in range(3)]
-            n_bf = _unit(n_bf)
-            n_j = bf2j(n_bf)
-            out_ref[P['PHASE']] = _vsep(u_sun, u_obs) * inv_deg
-            out_ref[P['INCIDENCE']] = _vsep(n_j, u_sun) * inv_deg
-            out_ref[P['EMISSION']] = _vsep(n_j, u_obs) * inv_deg
+            if need('INCIDENCE', 'EMISSION'):
+                n_bf = [
+                    sp32[i] * (inv_r32[i] * inv_r32[i]) for i in range(3)
+                ]
+                n_bf = _unit(n_bf)
+                n_j = bf2j(n_bf)
+            if 'PHASE' in P:
+                out_ref[P['PHASE']] = _vsep(u_sun, u_obs) * inv_deg
+            if 'INCIDENCE' in P:
+                out_ref[P['INCIDENCE']] = _vsep(n_j, u_sun) * inv_deg
+            if 'EMISSION' in P:
+                out_ref[P['EMISSION']] = _vsep(n_j, u_obs) * inv_deg
 
             # ---- azimuth (ds projections; pipeline.py 'Azimuth') ---------
-            if have_sun:
+            if 'AZIMUTH' not in P:
+                pass
+            elif have_sun:
                 csd = sc.ds_vec('cs_bf')
                 cod = sc.ds_vec('co_bf')
                 r1s = sc.vec('r1_s')
@@ -771,197 +826,234 @@ def build_pallas_pipeline(
                 out_ref[P['AZIMUTH']] = jnp.full_like(px32, np.nan)
 
             # ---- local solar time (ds; pipeline.py 'local solar time') ---
-            sol = sc.ds('solar_lon_e')
-            lst = dsk.add_f(
-                dsk.mul_pair(
-                    dsk.sub(lon_e, sol),
-                    dsk.const(spin_sign * 12.0 / np.pi),
-                ),
-                f32(12.0),
-            )
-            for _ in range(2):
-                la = dsk.add_f(lst, f32(24.0))
-                lst = (jnp.where(lst[0] < 0.0, la[0], lst[0]),
-                       jnp.where(lst[0] < 0.0, la[1], lst[1]))
-            for _ in range(2):
-                ls = dsk.add_f(lst, f32(-24.0))
-                lst = (jnp.where(lst[0] >= 24.0, ls[0], lst[0]),
-                       jnp.where(lst[0] >= 24.0, ls[1], lst[1]))
-            if lst_quant:
-                # floor(lst * 3600)/3600 with the ds value: hi*3600 is
-                # exact in f32 (< 2^17 with 7 fractional bits... not
-                # exact; use ds mul and a lo-aware floor)
-                m = dsk.mul_f(lst, f32(3600.0))
-                fl = jnp.floor(m[0])
-                frac = (m[0] - fl) + m[1]
-                fl = jnp.where(frac >= 1.0, fl + f32(1.0), fl)
-                fl = jnp.where(frac < 0.0, fl - f32(1.0), fl)
-                lst_v = fl / f32(3600.0)  # correctly-rounded (matches f64/3600 -> f32)
-            else:
-                lst_v = lst[0]
-            out_ref[P['LOCAL-SOLAR-TIME']] = jnp.where(
-                found, lst_v, nanv
-            )
+            if 'LOCAL-SOLAR-TIME' in P:
+                sol = sc.ds('solar_lon_e')
+                lst = dsk.add_f(
+                    dsk.mul_pair(
+                        dsk.sub(lon_e, sol),
+                        dsk.const(spin_sign * 12.0 / np.pi),
+                    ),
+                    f32(12.0),
+                )
+                for _ in range(2):
+                    la = dsk.add_f(lst, f32(24.0))
+                    lst = (jnp.where(lst[0] < 0.0, la[0], lst[0]),
+                           jnp.where(lst[0] < 0.0, la[1], lst[1]))
+                for _ in range(2):
+                    ls = dsk.add_f(lst, f32(-24.0))
+                    lst = (jnp.where(lst[0] >= 24.0, ls[0], lst[0]),
+                           jnp.where(lst[0] >= 24.0, ls[1], lst[1]))
+                if lst_quant:
+                    # floor(lst * 3600)/3600 with the ds value: hi*3600
+                    # is not exact in f32; use ds mul + a lo-aware floor
+                    m = dsk.mul_f(lst, f32(3600.0))
+                    fl = jnp.floor(m[0])
+                    frac = (m[0] - fl) + m[1]
+                    fl = jnp.where(frac >= 1.0, fl + f32(1.0), fl)
+                    fl = jnp.where(frac < 0.0, fl - f32(1.0), fl)
+                    # correctly-rounded (matches f64/3600 -> f32)
+                    lst_v = fl / f32(3600.0)
+                else:
+                    lst_v = lst[0]
+                out_ref[P['LOCAL-SOLAR-TIME']] = jnp.where(
+                    found, lst_v, nanv
+                )
 
             # ---- state (f32; pipeline.py 'state') ------------------------
-            out_ref[P['DISTANCE']] = jnp.where(found, dist_s[0], nanv)
+            if 'DISTANCE' in P:
+                out_ref[P['DISTANCE']] = jnp.where(
+                    found, dist_s[0], nanv
+                )
 
-            def bf2j_dot(vv):
-                return [
-                    (rot1m[0][i] + f32(2.0) * rot2hm[0][i] * dtau32)
-                    * vv[0]
-                    + (rot1m[1][i] + f32(2.0) * rot2hm[1][i] * dtau32)
-                    * vv[1]
-                    + (rot1m[2][i] + f32(2.0) * rot2hm[2][i] * dtau32)
-                    * vv[2]
-                    for i in range(3)
-                ]
+            if need('RADIAL-VELOCITY', 'DOPPLER'):
+                def bf2j_dot(vv):
+                    return [
+                        (rot1m[0][i] + f32(2.0) * rot2hm[0][i] * dtau32)
+                        * vv[0]
+                        + (rot1m[1][i]
+                           + f32(2.0) * rot2hm[1][i] * dtau32)
+                        * vv[1]
+                        + (rot1m[2][i]
+                           + f32(2.0) * rot2hm[2][i] * dtau32)
+                        * vv[2]
+                        for i in range(3)
+                    ]
 
-            p_vel = bf2j_dot(sp32)
-            p_vel = [v32[i] + p_vel[i] for i in range(3)]
-            ovel = sc.vec('obs_vel_32')
-            rhat = [-u_obs[0], -u_obs[1], -u_obs[2]]
-            rv_t = _dot(rhat, p_vel)
-            rv_o = _dot(rhat, ovel)
-            dltdt = (rv_t - rv_o) / (f32(CLIGHT) + rv_t)
-            vel = [p_vel[i] * (f32(1.0) - dltdt) - ovel[i]
-                   for i in range(3)]
-            rv = _dot(rhat, vel)
-            out_ref[P['RADIAL-VELOCITY']] = jnp.where(found, rv, nanv)
-            beta = rv * inv_c
-            out_ref[P['DOPPLER']] = jnp.sqrt(
-                (f32(1.0) + beta) / (f32(1.0) - beta)
-            )
+                p_vel = bf2j_dot(sp32)
+                p_vel = [v32[i] + p_vel[i] for i in range(3)]
+                ovel = sc.vec('obs_vel_32')
+                rhat = [-u_obs[0], -u_obs[1], -u_obs[2]]
+                rv_t = _dot(rhat, p_vel)
+                rv_o = _dot(rhat, ovel)
+                dltdt = (rv_t - rv_o) / (f32(CLIGHT) + rv_t)
+                vel = [p_vel[i] * (f32(1.0) - dltdt) - ovel[i]
+                       for i in range(3)]
+                rv = _dot(rhat, vel)
+                if 'RADIAL-VELOCITY' in P:
+                    out_ref[P['RADIAL-VELOCITY']] = jnp.where(
+                        found, rv, nanv
+                    )
+                if 'DOPPLER' in P:
+                    beta = rv * inv_c
+                    out_ref[P['DOPPLER']] = jnp.sqrt(
+                        (f32(1.0) + beta) / (f32(1.0) - beta)
+                    )
 
             # ---- limb (ds chains; pipeline.py 'limb coordinates') --------
-            rotot = sc.ds_vec('rot_o_t')
-            a_dot = _ds_dot(rotot, rdd)
-            t_d = dsk.add(a_dot, sc.ds('a0'))
-            p_off = [
-                dsk.sub(dsk.mul(t_d, d_bf0[i]), rotot[i])
-                for i in range(3)
-            ]
-            dot_a = _ds_dot(p_off, p_off)
-            coff = sc.ds_vec('c_off')
-            off_d = [dsk.add(p_off[i], coff[i]) for i in range(3)]
-            off32 = [off_d[i][0] for i in range(3)]
-            spr = sc.vec('spr32')
-            amo = _dot(spr, off32)
-            num_l = f32(2.0) * amo + _dot(off32, off32)
-            spd = sc.f32('sp_dist32')
-            r1_l = num_l / (f32(2.0) * spd)
-            dtau_l = -(num_l / (f32(2.0) * spd + r1_l)) * inv_c
-            dtl2 = dtau_l * dtau_l
-            c1 = _mv(r1r0t, off32)
-            c2 = _mv(r2hr0t, off32)
-            sptc = sc.ds_vec('spt_c')
-            near_d = [
-                dsk.add_f(
-                    dsk.add(off_d[i], sptc[i]),
-                    dtau_l * c1[i] + dtl2 * c2[i],
-                )
-                for i in range(3)
-            ]
-            nt_d = [dsk.mul(near_d[i], ird[i]) for i in range(3)]
-            ss_d = _ds_dot(nt_d, nt_d)
-            dot_b = dsk.mul(_ds_dot(near_d, near_d), dsk.recip(ss_d))
-            scale = lax.rsqrt(ss_d[0])
-            lx = near_d[0][0] * scale
-            ly = near_d[1][0] * scale
-            lz = near_d[2][0] * scale
-            lrho = jnp.sqrt(lx * lx + ly * ly)
-            limb_lon = dsk.atan2(ly, lx)
-            limb_lat = _bowring_lat(
-                lx, ly, lz, lrho, re32, omf32, e2_32, ep2_32
+            need_limb = need(
+                'LIMB-DISTANCE', 'LIMB-LON-GRAPHIC', 'LIMB-LAT-GRAPHIC'
             )
-            llg = _mod360_ds((
-                f32(lon_sign / DEG) * limb_lon, jnp.zeros_like(limb_lon)
-            ))
-            out_ref[P['LIMB-LON-GRAPHIC']] = llg[0]
-            out_ref[P['LIMB-LAT-GRAPHIC']] = limb_lat * inv_deg
-            den_l = dsk.add(dsk.sqrt(dot_a), dsk.sqrt(dot_b))
-            out_ref[P['LIMB-DISTANCE']] = dsk.mul(
-                dsk.sub(dot_a, dot_b), dsk.recip(den_l)
-            )[0]
+            spd = sc.f32('sp_dist32')
+            spr = sc.vec('spr32')
+            if need_limb:
+                rotot = sc.ds_vec('rot_o_t')
+                a_dot = _ds_dot(rotot, rdd)
+                t_d = dsk.add(a_dot, sc.ds('a0'))
+                p_off = [
+                    dsk.sub(dsk.mul(t_d, d_bf0[i]), rotot[i])
+                    for i in range(3)
+                ]
+                dot_a = _ds_dot(p_off, p_off)
+                coff = sc.ds_vec('c_off')
+                off_d = [dsk.add(p_off[i], coff[i]) for i in range(3)]
+                off32 = [off_d[i][0] for i in range(3)]
+                amo = _dot(spr, off32)
+                num_l = f32(2.0) * amo + _dot(off32, off32)
+                r1_l = num_l / (f32(2.0) * spd)
+                dtau_l = -(num_l / (f32(2.0) * spd + r1_l)) * inv_c
+                dtl2 = dtau_l * dtau_l
+                c1 = _mv(r1r0t, off32)
+                c2 = _mv(r2hr0t, off32)
+                sptc = sc.ds_vec('spt_c')
+                near_d = [
+                    dsk.add_f(
+                        dsk.add(off_d[i], sptc[i]),
+                        dtau_l * c1[i] + dtl2 * c2[i],
+                    )
+                    for i in range(3)
+                ]
+                nt_d = [dsk.mul(near_d[i], ird[i]) for i in range(3)]
+                ss_d = _ds_dot(nt_d, nt_d)
+                scale = lax.rsqrt(ss_d[0])
+                lx = near_d[0][0] * scale
+                ly = near_d[1][0] * scale
+                lz = near_d[2][0] * scale
+                if 'LIMB-LON-GRAPHIC' in P:
+                    limb_lon = dsk.atan2(ly, lx)
+                    llg = _mod360_ds((
+                        f32(lon_sign / DEG) * limb_lon,
+                        jnp.zeros_like(limb_lon),
+                    ))
+                    out_ref[P['LIMB-LON-GRAPHIC']] = llg[0]
+                if 'LIMB-LAT-GRAPHIC' in P:
+                    lrho = jnp.sqrt(lx * lx + ly * ly)
+                    limb_lat = _bowring_lat(
+                        lx, ly, lz, lrho, re32, omf32, e2_32, ep2_32
+                    )
+                    out_ref[P['LIMB-LAT-GRAPHIC']] = limb_lat * inv_deg
+                if 'LIMB-DISTANCE' in P:
+                    dot_b = dsk.mul(
+                        _ds_dot(near_d, near_d), dsk.recip(ss_d)
+                    )
+                    den_l = dsk.add(dsk.sqrt(dot_a), dsk.sqrt(dot_b))
+                    out_ref[P['LIMB-DISTANCE']] = dsk.mul(
+                        dsk.sub(dot_a, dot_b), dsk.recip(den_l)
+                    )[0]
 
             # ---- ring plane (ds; pipeline.py 'ring plane') ---------------
-            rotrn = sc.ds_vec('rot_rn')
-            denom_d = dsk.add(_ds_dot(rotrn, rdd), sc.ds('rn_m0'))
-            denom32 = denom_d[0]
-            rconst32 = sc.f32('ring_const32')
-            in_plane = (jnp.abs(denom32) == 0.0) & (
-                jnp.abs(rconst32) == 0.0
-            )
-            parallel = (jnp.abs(denom32) == 0.0) & ~in_plane
-            safe = jnp.abs(denom32) > f32(1e-30)
-            denom_safe = (
-                jnp.where(
-                    safe, denom_d[0],
-                    jnp.where(denom32 < 0.0, f32(-1e-30), f32(1e-30)),
-                ),
-                jnp.where(safe, denom_d[1], f32(0.0)),
-            )
-            s_r_d = dsk.mul(sc.ds('ring_const'), dsk.recip(denom_safe))
-            s_r = s_r_d[0]
-            ring_ok = (~parallel) & (~in_plane) & (s_r >= 0.0)
-            rsoc = sc.ds_vec('rso_c')
-            off_r = [
-                dsk.sub(dsk.mul(s_r_d, d_bf0[i]), rsoc[i])[0]
-                for i in range(3)
-            ]
-            amo_r = _dot(spr, off_r)
-            num_r = f32(2.0) * amo_r + _dot(off_r, off_r)
-            r1_r = num_r / (f32(2.0) * spd)
-            dtau_r = -(num_r / (f32(2.0) * spd + r1_r)) * inv_c
-            dtr2 = dtau_r * dtau_r
-            cr1 = _mv(r1r0t, off_r)
-            cr2 = _mv(r2hr0t, off_r)
-            sptc32 = sc.vec('spt_c32')
-            rx = sptc32[0] + off_r[0] + dtau_r * cr1[0] + dtr2 * cr2[0]
-            ry = sptc32[1] + off_r[1] + dtau_r * cr1[1] + dtr2 * cr2[1]
-            rz = sptc32[2] + off_r[2] + dtau_r * cr1[2] + dtr2 * cr2[2]
-            ring_lon_e = dsk.atan2(ry, rx)
-            rrho = jnp.sqrt(rx * rx + ry * ry)
-            # Bowring with 2 refinement steps (exterior points)
-            rw = rrho * omf32
-            rrb = lax.rsqrt(rz * rz + rw * rw)
-            rsb = rz * rrb
-            rcb = rw * rrb
-            for _ in range(2):
-                rnum = rz + ep2_32 * (re32 * omf32) * rsb * rsb * rsb
-                rden = rrho - e2_32 * re32 * rcb * rcb * rcb
-                rr2 = lax.rsqrt(rnum * rnum + rden * rden)
-                rsl = rnum * rr2
-                rcl = rden * rr2
-                rb2 = lax.rsqrt(omf32 * omf32 * rsl * rsl + rcl * rcl)
-                rsb = omf32 * rsl * rb2
-                rcb = rcl * rb2
-            rnum = rz + ep2_32 * (re32 * omf32) * rsb * rsb * rsb
-            rden = rrho - e2_32 * re32 * rcb * rcb * rcb
-            rr2 = lax.rsqrt(rnum * rnum + rden * rden)
-            rsl = rnum * rr2
-            rcl = rden * rr2
-            n_r = re32 * lax.rsqrt(f32(1.0) - e2_32 * rsl * rsl)
-            ring_alt = (
-                rrho * rcl + rz * rsl
-                - n_r * (f32(1.0) - e2_32 * rsl * rsl)
-            )
-            ring_radius = ring_alt + re32
-            rl = _mod360_ds((
-                f32(lon_sign / DEG) * ring_lon_e,
-                jnp.zeros_like(ring_lon_e),
-            ))
-            hidden = found & (dist_s[0] < s_r)
-            ring_invalid = (~ring_ok) | hidden
-            out_ref[P['RING-RADIUS']] = jnp.where(
-                ring_invalid, nanv, ring_radius
-            )
-            out_ref[P['RING-LON-GRAPHIC']] = jnp.where(
-                ring_invalid, nanv, rl[0]
-            )
-            out_ref[P['RING-DISTANCE']] = jnp.where(
-                ring_invalid, nanv, s_r
-            )
+            if need('RING-RADIUS', 'RING-LON-GRAPHIC', 'RING-DISTANCE'):
+                rotrn = sc.ds_vec('rot_rn')
+                denom_d = dsk.add(_ds_dot(rotrn, rdd), sc.ds('rn_m0'))
+                denom32 = denom_d[0]
+                rconst32 = sc.f32('ring_const32')
+                in_plane = (jnp.abs(denom32) == 0.0) & (
+                    jnp.abs(rconst32) == 0.0
+                )
+                parallel = (jnp.abs(denom32) == 0.0) & ~in_plane
+                safe = jnp.abs(denom32) > f32(1e-30)
+                denom_safe = (
+                    jnp.where(
+                        safe, denom_d[0],
+                        jnp.where(
+                            denom32 < 0.0, f32(-1e-30), f32(1e-30)
+                        ),
+                    ),
+                    jnp.where(safe, denom_d[1], f32(0.0)),
+                )
+                s_r_d = dsk.mul(
+                    sc.ds('ring_const'), dsk.recip(denom_safe)
+                )
+                s_r = s_r_d[0]
+                ring_ok = (~parallel) & (~in_plane) & (s_r >= 0.0)
+                hidden = found & (dist_s[0] < s_r)
+                ring_invalid = (~ring_ok) | hidden
+                if need('RING-RADIUS', 'RING-LON-GRAPHIC'):
+                    rsoc = sc.ds_vec('rso_c')
+                    off_r = [
+                        dsk.sub(dsk.mul(s_r_d, d_bf0[i]), rsoc[i])[0]
+                        for i in range(3)
+                    ]
+                    amo_r = _dot(spr, off_r)
+                    num_r = f32(2.0) * amo_r + _dot(off_r, off_r)
+                    r1_r = num_r / (f32(2.0) * spd)
+                    dtau_r = -(num_r / (f32(2.0) * spd + r1_r)) * inv_c
+                    dtr2 = dtau_r * dtau_r
+                    cr1 = _mv(r1r0t, off_r)
+                    cr2 = _mv(r2hr0t, off_r)
+                    sptc32 = sc.vec('spt_c32')
+                    rx = (sptc32[0] + off_r[0]
+                          + dtau_r * cr1[0] + dtr2 * cr2[0])
+                    ry = (sptc32[1] + off_r[1]
+                          + dtau_r * cr1[1] + dtr2 * cr2[1])
+                    rz = (sptc32[2] + off_r[2]
+                          + dtau_r * cr1[2] + dtr2 * cr2[2])
+                if 'RING-RADIUS' in P:
+                    rrho = jnp.sqrt(rx * rx + ry * ry)
+                    # Bowring with 2 refinement steps (exterior points)
+                    rw = rrho * omf32
+                    rrb = lax.rsqrt(rz * rz + rw * rw)
+                    rsb = rz * rrb
+                    rcb = rw * rrb
+                    for _ in range(2):
+                        rnum = (rz + ep2_32 * (re32 * omf32)
+                                * rsb * rsb * rsb)
+                        rden = rrho - e2_32 * re32 * rcb * rcb * rcb
+                        rr2 = lax.rsqrt(rnum * rnum + rden * rden)
+                        rsl = rnum * rr2
+                        rcl = rden * rr2
+                        rb2 = lax.rsqrt(
+                            omf32 * omf32 * rsl * rsl + rcl * rcl
+                        )
+                        rsb = omf32 * rsl * rb2
+                        rcb = rcl * rb2
+                    rnum = (rz + ep2_32 * (re32 * omf32)
+                            * rsb * rsb * rsb)
+                    rden = rrho - e2_32 * re32 * rcb * rcb * rcb
+                    rr2 = lax.rsqrt(rnum * rnum + rden * rden)
+                    rsl = rnum * rr2
+                    rcl = rden * rr2
+                    n_r = re32 * lax.rsqrt(f32(1.0) - e2_32 * rsl * rsl)
+                    ring_alt = (
+                        rrho * rcl + rz * rsl
+                        - n_r * (f32(1.0) - e2_32 * rsl * rsl)
+                    )
+                    ring_radius = ring_alt + re32
+                    out_ref[P['RING-RADIUS']] = jnp.where(
+                        ring_invalid, nanv, ring_radius
+                    )
+                if 'RING-LON-GRAPHIC' in P:
+                    ring_lon_e = dsk.atan2(ry, rx)
+                    rl = _mod360_ds((
+                        f32(lon_sign / DEG) * ring_lon_e,
+                        jnp.zeros_like(ring_lon_e),
+                    ))
+                    out_ref[P['RING-LON-GRAPHIC']] = jnp.where(
+                        ring_invalid, nanv, rl[0]
+                    )
+                if 'RING-DISTANCE' in P:
+                    out_ref[P['RING-DISTANCE']] = jnp.where(
+                        ring_invalid, nanv, s_r
+                    )
 
         grid = (ny // band_rows, nx // col_tile)
         stacked = pl.pallas_call(
@@ -994,7 +1086,7 @@ def build_pallas_pipeline(
         )(scal, rowt, colt)
 
         out: dict[str, Any] = {}
-        for k, name in enumerate(PLANE_ORDER):
+        for k, name in enumerate(requested):
             plane = stacked[k]
             if name == 'RADIAL-VELOCITY':
                 plane = plane.astype(jnp.float64)

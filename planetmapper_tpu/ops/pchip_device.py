@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -485,6 +486,106 @@ def _smooth_fn(ny: int, nx: int, ny_b: int, nx_b: int,
     return jax.jit(fn)
 
 
+#: staged spatial tiles for the windowed Pallas sampler, cached per
+#: (map coordinates, box origin, oversampling): they depend only on the
+#: map geometry, so a frame stream (or GUI scrub at fixed disc) stages
+#: once. Entries keep the host maps alive to pin the pointer keys.
+_SMOOTH_STAGED_CACHE: dict[tuple, tuple] = {}
+_SMOOTH_STAGED_CACHE_MAX = 8
+
+#: cached map-extent pixel bounding boxes (see smooth_interpolation_device)
+_BOX_CACHE: dict[tuple, tuple] = {}
+
+
+def _staged_smooth_tiles(x_map, y_map, iy0: int, ix0: int,
+                         ny_b: int, nx_b: int, ky_rep: int, kx_rep: int,
+                         ny: int, nx: int, propagate_nan: bool):
+    """Cached host staging for the windowed Pallas smooth sampler
+    (:func:`.smooth_pallas.stage_smooth_tiles`); ``None`` when some tile's
+    footprint exceeds the window (caller keeps the XLA path)."""
+    import jax.numpy as jnp
+
+    key = (
+        x_map.ctypes.data, y_map.ctypes.data, x_map.shape,
+        iy0, ix0, ny_b, nx_b, ky_rep, kx_rep, ny, nx, propagate_nan,
+    )
+    hit = _SMOOTH_STAGED_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    from .smooth_pallas import stage_smooth_tiles
+
+    n_xs = (nx_b - 1) * kx_rep + 1
+    n_ys = (ny_b - 1) * ky_rep + 1
+    x_step = (nx_b - 1) / (n_xs - 1) if n_xs > 1 else 1.0
+    y_step = (ny_b - 1) / (n_ys - 1) if n_ys > 1 else 1.0
+    staged = stage_smooth_tiles(
+        x_map, y_map, iy0, ix0, n_ys, n_xs, y_step, x_step,
+        ny, nx, propagate_nan,
+    )
+    if staged is not None:
+        by, bx, aux, oy, ox, my_p, mx_p = staged
+        staged = tuple(jnp.asarray(a) for a in (by, bx, aux, oy, ox))
+    if len(_SMOOTH_STAGED_CACHE) >= _SMOOTH_STAGED_CACHE_MAX:
+        _SMOOTH_STAGED_CACHE.pop(next(iter(_SMOOTH_STAGED_CACHE)))
+    _SMOOTH_STAGED_CACHE[key] = (staged, x_map, y_map)
+    return staged
+
+
+@functools.lru_cache(maxsize=64)
+def _smooth_pallas_fn(ny: int, nx: int, ny_b: int, nx_b: int,
+                      ky_rep: int, kx_rep: int, propagate_nan: bool,
+                      n_tiles: int, my: int, mx: int, batched: bool,
+                      interpret: bool = False):
+    """
+    Jitted end-to-end 'smooth' program on the windowed Pallas sampler:
+    box slice + separable PCHIP oversample in XLA, bilinear sampling in
+    the Mosaic kernel (:mod:`.smooth_pallas`). Same semantics as
+    :func:`_smooth_fn`; engaged only when the static staging fits.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .smooth_pallas import make_smooth_eval, untile
+
+    n_xs = (nx_b - 1) * kx_rep + 1
+    n_ys = (ny_b - 1) * ky_rep + 1
+    ev = make_smooth_eval(
+        propagate_nan, n_ys, n_xs, ny, nx, n_tiles, interpret
+    )
+    # f32 PCHIP on accelerators: the sampler contracts in f32 anyway, so
+    # f64 oversampling (emulated on TPU, ~2x the whole smooth cost)
+    # buys nothing past input quantization; CPU/interpret keeps f64 so
+    # the host-parity tests see the reference-grade chain
+    dt = (
+        jnp.float64 if jax.default_backend() == 'cpu' else jnp.float32
+    )
+
+    def one(img, iy0, ix0, oy, ox, by, bx, aux):
+        box = lax.dynamic_slice(
+            img, (iy0, ix0), (ny_b, nx_b)
+        ).astype(dt)
+        intermediate = _pchip_axis(jnp, lax, box, n_xs, kx_rep)
+        final = _pchip_axis(
+            jnp, lax, jnp.swapaxes(intermediate, 0, 1), n_ys, ky_rep
+        )
+        final = jnp.swapaxes(final, 0, 1)  # (n_ys, n_xs)
+        img_nan = jnp.isnan(img).astype(jnp.float32)
+        vals = ev(final, img_nan, oy, ox, by, bx, aux)
+        return untile(vals, my, mx)
+
+    if batched:
+        # lax.map, not vmap: the kernel program is single-frame (see
+        # ops/map_pallas.py on frame grid axes)
+        def fn(img, iy0, ix0, oy, ox, by, bx, aux):
+            return lax.map(
+                lambda im: one(im, iy0, ix0, oy, ox, by, bx, aux), img
+            )
+    else:
+        fn = one
+    return jax.jit(fn)
+
+
 def smooth_interpolation_device(
     img, x_map, y_map, *, propagate_nan: bool, oversample_by: int,
     max_oversampled_img_size: int, limit_padding: float = 5.0,
@@ -508,18 +609,37 @@ def smooth_interpolation_device(
     out_shape = (
         (img.shape[0],) + tuple(x_map.shape) if is_cube else x_map.shape
     )
-    if np.all(np.isnan(img)) or not np.any(
-        np.isfinite(x_map) & np.isfinite(y_map)
-    ):
+    # map-extent scans (nanmin/nanmax over the full map arrays) cached
+    # per map: at ~4 full-array host passes they would otherwise
+    # dominate a streamed per-frame call (~15 ms of numpy per frame for
+    # a 720x1440 map vs ~4 ms of device work)
+    box_key = (
+        x_map.ctypes.data, y_map.ctypes.data, x_map.shape, ny, nx,
+        limit_padding,
+    )
+    hit = _BOX_CACHE.get(box_key)
+    if hit is None:
+        any_finite = bool(
+            np.any(np.isfinite(x_map) & np.isfinite(y_map))
+        )
+        if any_finite:
+            xlim = (np.nanmin(x_map), np.nanmax(x_map))
+            ylim = (np.nanmin(y_map), np.nanmax(y_map))
+            ix0 = max(0, int(math.ceil(xlim[0] - limit_padding)))
+            ix1 = min(nx, int(math.floor(xlim[1] + limit_padding)) + 1)
+            iy0 = max(0, int(math.ceil(ylim[0] - limit_padding)))
+            iy1 = min(ny, int(math.floor(ylim[1] + limit_padding)) + 1)
+        else:
+            ix0 = ix1 = iy0 = iy1 = 0
+        if len(_BOX_CACHE) >= 8:
+            _BOX_CACHE.pop(next(iter(_BOX_CACHE)))
+        # keep the maps alive: they pin the data pointers in the key
+        hit = (any_finite, ix0, ix1, iy0, iy1, x_map, y_map)
+        _BOX_CACHE[box_key] = hit
+    any_finite, ix0, ix1, iy0, iy1 = hit[:5]
+    if not any_finite or np.all(np.isnan(img)):
         result = np.full(out_shape, np.nan)
         return result if as_numpy else jnp.asarray(result, jnp.float32)
-
-    xlim = (np.nanmin(x_map), np.nanmax(x_map))
-    ylim = (np.nanmin(y_map), np.nanmax(y_map))
-    ix0 = max(0, int(math.ceil(xlim[0] - limit_padding)))
-    ix1 = min(nx, int(math.floor(xlim[1] + limit_padding)) + 1)
-    iy0 = max(0, int(math.ceil(ylim[0] - limit_padding)))
-    iy1 = min(ny, int(math.floor(ylim[1] + limit_padding)) + 1)
     if ix1 - ix0 < 2 or iy1 - iy0 < 2:
         # degenerate box: the host path would find < 2 usable points in
         # one direction and leave the map NaN
@@ -535,12 +655,50 @@ def smooth_interpolation_device(
     kx_rep = pick_rep(ix1 - ix0)
     ky_rep = pick_rep(iy1 - iy0)
 
+    # Windowed Mosaic sampler (TPU): engaged when the static host
+    # staging proves every spatial tile's footprint fits the window.
+    # 'force' runs it in interpret mode on any backend (tests).
+    from .smooth_pallas import smooth_pallas_enabled
+
+    force = os.environ.get(
+        'PLANETMAPPER_TPU_SMOOTH_PALLAS', ''
+    ).lower() == 'force'
+    staged = None
+    if force or smooth_pallas_enabled():
+        staged = _staged_smooth_tiles(
+            x_map, y_map, iy0, ix0, iy1 - iy0, ix1 - ix0,
+            ky_rep, kx_rep, ny, nx, propagate_nan,
+        )
+    import jax
+
+    # f32 upload on accelerators for the kernel path (the whole chain
+    # past the upload is f32 there; halves the per-frame H2D bytes)
+    img_dev = jnp.asarray(
+        img,
+        dtype=jnp.float64 if (
+            staged is None or jax.default_backend() == 'cpu'
+        ) else jnp.float32,
+    )
+    if staged is not None:
+        by, bx, aux, oy, ox = staged
+        fnp = _smooth_pallas_fn(
+            ny, nx, iy1 - iy0, ix1 - ix0, ky_rep, kx_rep,
+            propagate_nan, int(oy.shape[0]), *x_map.shape,
+            batched=is_cube, interpret=force,
+        )
+        vals = fnp(
+            img_dev, jnp.int32(iy0), jnp.int32(ix0), oy, ox, by, bx, aux
+        )
+        vals = vals.reshape(out_shape)
+        if as_numpy:
+            return np.asarray(vals, dtype=np.float64)
+        return vals
+
     x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
     fn = _smooth_fn(
         ny, nx, iy1 - iy0, ix1 - ix0, ky_rep, kx_rep, propagate_nan,
         tuple(x_map.shape),
     )
-    img_dev = jnp.asarray(img, dtype=jnp.float64)
     args = (jnp.int32(iy0), jnp.int32(ix0), y_dev, x_dev, valid_dev)
     if is_cube:
         import jax

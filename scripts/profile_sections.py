@@ -60,7 +60,43 @@ def main() -> None:
     disc = np.asarray(body.get_disc_params(), dtype=np.float64)
     radii = np.asarray(body.radii, dtype=np.float64)
 
+    # The XLA path gets subset costs for free (dead-code elimination of
+    # unrequested outputs); the Mosaic kernel computes what it is built
+    # with, so subsets must be built as separate kernels (planes=...).
+    from planetmapper_tpu.pipeline import _bucket_size, select_pipeline_impl
+
+    _, use_pallas = select_pipeline_impl(
+        body, _bucket_size(SIZE), _bucket_size(SIZE)
+    )
+    print(f'pipeline: {"Mosaic kernel" if use_pallas else "XLA graph"}',
+          flush=True)
+
     def subset_fn(keep):
+        if use_pallas:
+            from planetmapper_tpu.ops.pallas_pipeline import (
+                build_pallas_pipeline,
+            )
+
+            impl = build_pallas_pipeline(
+                positive_west=body.positive_longitude_direction == 'W',
+                prograde=body.prograde,
+                have_sun=body._engine._pos_s is not None,
+                optimize_speed=bool(body._optimize_speed),
+                lst_quant=True,
+                planes=tuple(keep),
+            )
+
+            @jax.jit
+            def run(xy2a, disc, radii, anchors):
+                out = impl(SIZE, SIZE, xy2a, disc, radii, anchors)
+                return sum(
+                    jnp.sum(jnp.nan_to_num(
+                        v[::128, ::128].astype(jnp.float32)
+                    ))
+                    for v in out.values()
+                )
+            return run
+
         @jax.jit
         def run(xy2a, disc, radii, anchors):
             out = fn(xy2a, disc, radii, anchors)

@@ -71,6 +71,83 @@ class TestDskHost:
                              np.ones(3), {})
             )
 
+    def test_builder_rejects_unknown_plane(self):
+        from planetmapper_tpu.ops.pallas_pipeline import (
+            build_pallas_pipeline,
+        )
+
+        with pytest.raises(ValueError, match='unknown planes'):
+            build_pallas_pipeline(
+                positive_west=True, prograde=True, have_sun=True,
+                optimize_speed=False, lst_quant=True,
+                planes=('EMISSION', 'NO-SUCH-PLANE'),
+            )
+
+
+class TestPlaneSubsets:
+    """
+    ``build_pallas_pipeline(planes=...)``: subset kernels must agree
+    exactly with the full kernel's corresponding planes (the gating
+    only removes trace-time sections, never changes surviving math).
+    Interpret mode on CPU; Mosaic execution of subsets is covered by
+    the TPU parity test running the full set.
+    """
+
+    # one subset per gating branch: lonlat+lst (shared lon_e), radec,
+    # separable, illumination (sun chain), azimuth, state (u_obs
+    # without illumination), limb, ring
+    SUBSETS = [
+        ('LON-GRAPHIC', 'LOCAL-SOLAR-TIME'),
+        ('RA', 'KM-X', 'PIXEL-Y'),
+        ('PHASE', 'INCIDENCE', 'EMISSION'),
+        ('AZIMUTH',),
+        ('DISTANCE', 'DOPPLER'),
+        ('LIMB-DISTANCE', 'RING-RADIUS'),
+        ('LAT-CENTRIC', 'ANGULAR-Y', 'RING-LON-GRAPHIC'),
+    ]
+
+    def _run(self, body, nx, ny, planes):
+        import jax
+
+        from planetmapper_tpu.ops.pallas_pipeline import (
+            build_pallas_pipeline,
+        )
+
+        impl = build_pallas_pipeline(
+            positive_west=body.positive_longitude_direction == 'W',
+            prograde=body.prograde,
+            have_sun=body._engine._pos_s is not None,
+            optimize_speed=bool(body._optimize_speed),
+            lst_quant=True,
+            planes=planes,
+            interpret=True,
+        )
+        out = jax.jit(lambda *a: impl(nx, ny, *a))(
+            np.asarray(body._get_xy2angular_matrix()),
+            np.asarray(body.get_disc_params(), dtype=np.float64),
+            np.asarray(body.radii, dtype=np.float64),
+            body._get_pipeline_anchors(),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def test_subsets_match_full(self):
+        from planetmapper_tpu import BodyXY
+
+        nx, ny = 128, 64  # one kernel tile
+        body = BodyXY(
+            'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00',
+            nx=nx, ny=ny,
+        )
+        body.set_disc_params(nx / 2, ny / 2, ny * 0.45, 12.3)
+        full = self._run(body, nx, ny, None)
+        for planes in self.SUBSETS:
+            out = self._run(body, nx, ny, planes)
+            assert set(out) == set(planes)
+            for name in planes:
+                np.testing.assert_array_equal(
+                    out[name], full[name], err_msg=name
+                )
+
 
 @requires_tpu
 class TestDskOnTpu:
@@ -256,6 +333,43 @@ class TestPallasMapEvalOnTpu:
         both = ~np.isnan(ref)
         scale = np.nanmax(np.abs(ref))
         assert np.max(np.abs(out[both] - ref[both])) < 3e-5 * max(
+            scale, 1.0
+        )
+
+    def test_smooth_device_parity(self):
+        # Windowed Mosaic 'smooth' sampler (f32 PCHIP) vs the XLA path
+        # (f64 PCHIP): identical NaN mask; values within the f32
+        # oversample quantization (~1e-5 relative of the data scale)
+        import os
+
+        from planetmapper_tpu.ops import pchip_device
+
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(150, 150))
+        img[40:44, 50:53] = np.nan
+        # smooth (map-like) coordinate fields so tile footprints are
+        # local, matching real map_img usage
+        x = np.sort(rng.uniform(-5, 155, (360, 720)), axis=1)
+        y = np.sort(rng.uniform(-5, 155, (360, 720)), axis=0)
+        kwargs = dict(
+            propagate_nan=True, oversample_by=5,
+            max_oversampled_img_size=10000,
+        )
+        pchip_device._SMOOTH_STAGED_CACHE.clear()
+        out = pchip_device.smooth_interpolation_device(img, x, y, **kwargs)
+        assert pchip_device._SMOOTH_STAGED_CACHE, 'kernel path not taken'
+        os.environ['PLANETMAPPER_TPU_MAP_PALLAS'] = '0'
+        try:
+            pchip_device._SMOOTH_STAGED_CACHE.clear()
+            ref = pchip_device.smooth_interpolation_device(
+                img, x, y, **kwargs
+            )
+        finally:
+            os.environ.pop('PLANETMAPPER_TPU_MAP_PALLAS')
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        both = ~np.isnan(ref)
+        scale = np.nanmax(np.abs(ref))
+        assert np.max(np.abs(out[both] - ref[both])) < 1e-4 * max(
             scale, 1.0
         )
 

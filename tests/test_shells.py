@@ -1275,3 +1275,78 @@ class TestPallasMapEval:
 
         # CPU backend (the test environment) must keep the XLA path
         assert not pallas_map_supported(3, 3, 150, 150, 150, 150)
+
+
+class TestPallasSmoothEval:
+    """
+    The windowed Pallas 'smooth' sampler (ops/smooth_pallas.py) in
+    interpret mode (PLANETMAPPER_TPU_SMOOTH_PALLAS=force): exact NaN
+    contract + value parity with the XLA tiled-window path it replaces
+    on TPU. Real Mosaic execution is covered by test_pallas_core.py.
+    """
+
+    def _both(self, monkeypatch, img, x_map, y_map, propagate_nan=True):
+        from planetmapper_tpu.ops import pchip_device
+
+        kwargs = dict(
+            propagate_nan=propagate_nan, oversample_by=5,
+            max_oversampled_img_size=10000,
+        )
+        monkeypatch.delenv('PLANETMAPPER_TPU_SMOOTH_PALLAS',
+                           raising=False)
+        ref = pchip_device.smooth_interpolation_device(
+            img, x_map, y_map, **kwargs
+        )
+        monkeypatch.setenv('PLANETMAPPER_TPU_SMOOTH_PALLAS', 'force')
+        out = pchip_device.smooth_interpolation_device(
+            img, x_map, y_map, **kwargs
+        )
+        return out, ref
+
+    @pytest.mark.parametrize('propagate_nan', [True, False])
+    def test_parity_with_xla_path(self, monkeypatch, propagate_nan):
+        rng = np.random.default_rng(11)
+        ny_i, nx_i = 30, 26
+        img = rng.normal(size=(ny_i, nx_i))
+        img[rng.uniform(size=img.shape) < 0.05] = np.nan
+        # 2D map spanning beyond the grid on all sides; several spatial
+        # tiles (70x130 pads to 128x192 = 2x3 tiles of 64x64)
+        x_map = rng.uniform(-2, nx_i + 2, (70, 130))
+        y_map = rng.uniform(-2, ny_i + 2, (70, 130))
+        # smooth footprints: sort both axes so each 64x64 tile's samples
+        # hit a local window (random scatter legitimately exceeds it)
+        x_map = np.sort(x_map, axis=1)
+        y_map = np.sort(y_map, axis=0)
+        x_map[0, :3] = np.nan  # invalid samples
+        out, ref = self._both(
+            monkeypatch, img, x_map, y_map, propagate_nan
+        )
+        assert out.shape == ref.shape == (70, 130)
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        np.testing.assert_allclose(out, ref, atol=2e-5, equal_nan=True)
+
+    def test_cube_and_small_map(self, monkeypatch):
+        rng = np.random.default_rng(13)
+        imgs = rng.normal(size=(3, 12, 14))
+        imgs[1, 4, 5] = np.nan
+        x_map = np.sort(rng.uniform(0, 13, (9, 17)), axis=1)
+        y_map = np.sort(rng.uniform(0, 11, (9, 17)), axis=0)
+        out, ref = self._both(monkeypatch, imgs, x_map, y_map)
+        assert out.shape == (3, 9, 17)
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        np.testing.assert_allclose(out, ref, atol=2e-5, equal_nan=True)
+
+    def test_footprint_gate_rejects_scatter(self):
+        from planetmapper_tpu.ops.smooth_pallas import stage_smooth_tiles
+
+        rng = np.random.default_rng(17)
+        # one 64x64 tile whose samples scatter across a 196-wide
+        # oversampled grid: must refuse (window is 128)
+        n_b = 40
+        n_s = (n_b - 1) * 5 + 1
+        x_map = rng.uniform(0, n_b - 1, (64, 64))
+        y_map = rng.uniform(0, n_b - 1, (64, 64))
+        staged = stage_smooth_tiles(
+            x_map, y_map, 0, 0, n_s, n_s, 0.2, 0.2, n_b, n_b, True
+        )
+        assert staged is None
