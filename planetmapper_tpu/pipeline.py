@@ -1414,7 +1414,8 @@ def _robust_geodetic(body) -> bool:
 
 
 def select_pipeline_impl(body, nx_b: int, ny_b: int,
-                         use_pallas: bool | None = None):
+                         use_pallas: bool | None = None,
+                         planes: tuple[str, ...] | None = None):
     """
     Build the per-pixel pipeline impl for a body at a bucketed shape:
     ``(impl, use_pallas)`` where ``impl(nx, ny, xy2angular, disc, radii,
@@ -1423,6 +1424,10 @@ def select_pipeline_impl(body, nx_b: int, ny_b: int,
     single-kernel pipeline on TPU for the shapes it tiles, the fused XLA
     graph otherwise - shared by :func:`get_fused_pipeline` and the
     row-sharded multi-chip path (:mod:`.parallel.sharding`).
+
+    ``planes`` restricts the Mosaic kernel to a subset (the XLA graph
+    needs no restriction: its caller filters outputs and dead-code
+    elimination removes the rest).
     """
     precision = getattr(body, '_pipeline_precision', DEFAULT_PRECISION)
     robust_geodetic = _robust_geodetic(body)
@@ -1444,6 +1449,7 @@ def select_pipeline_impl(body, nx_b: int, ny_b: int,
             n_lt_iters=int(
                 os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2')
             ),
+            planes=planes,
         )
     else:
         impl = fused_backplanes_fn(
@@ -1457,10 +1463,18 @@ def select_pipeline_impl(body, nx_b: int, ny_b: int,
     return impl, use_pallas
 
 
-def get_fused_pipeline(body, nx: int, ny: int):
+def get_fused_pipeline(body, nx: int, ny: int,
+                       planes: tuple[str, ...] | None = None):
     """
     Jitted fused pipeline for a body's configuration and image size.
     Returns ``fn(xy2angular, disc, radii, anchors) -> dict of backplanes``.
+
+    ``planes`` restricts the program to a subset of the default planes:
+    the XLA graph path drops the rest by dead-code elimination, the
+    Mosaic kernel is built without those sections
+    (``build_pallas_pipeline(planes=...)``). Each distinct subset is a
+    separate compile - worth it for hot loops that stream a few planes,
+    not for one-off requests (the full set is already compiled).
     """
     import jax
 
@@ -1487,6 +1501,14 @@ def get_fused_pipeline(body, nx: int, ny: int):
         if pallas_pipeline_supported(nx_b, ny_p):
             use_pallas = True
             ny_b = ny_p
+    if planes is not None:
+        from .ops.pallas_pipeline import PLANE_ORDER
+
+        unknown = set(planes) - set(PLANE_ORDER)
+        if unknown:
+            raise ValueError(f'unknown planes: {sorted(unknown)}')
+        # canonical order: one compile per subset, not per permutation
+        planes = tuple(n for n in PLANE_ORDER if n in planes)
     key = (
         body.target_body_id, body._observer_body_id,
         body.aberration_correction, body.positive_longitude_direction,
@@ -1494,12 +1516,12 @@ def get_fused_pipeline(body, nx: int, ny: int):
         bool(body._optimize_speed), nx_b, ny_b, precision,
         _lst_quantization(), robust_geodetic,
         os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2'),
-        band_rows, use_pallas,
+        band_rows, use_pallas, planes,
     )
     fn = _PIPELINE_CACHE.get(key)
     if fn is None:
         impl, _ = select_pipeline_impl(
-            body, nx_b, ny_b, use_pallas=use_pallas
+            body, nx_b, ny_b, use_pallas=use_pallas, planes=planes
         )
 
         import jax.numpy as jnp
@@ -1522,9 +1544,19 @@ def get_fused_pipeline(body, nx: int, ny: int):
         # each band's intermediates resident in VMEM instead of spilling
         # ~50 full-frame f64 temporaries to HBM (measured ~2.2x at 2048^2).
         # The Pallas impl tiles internally (its own grid) - no outer map.
+        def keep(out):
+            # XLA path subset: filtering before the jitted return makes
+            # dead-code elimination drop the unrequested planes' compute
+            # (the Mosaic impl was already built without them)
+            if planes is None:
+                return out
+            return {k: out[k] for k in planes if k in out}
+
         if not tiled or use_pallas:
             def wrapped(xy2angular, disc, radii, anchors):
-                out = impl(nx_b, ny_b, xy2angular, disc, radii, anchors)
+                out = keep(
+                    impl(nx_b, ny_b, xy2angular, disc, radii, anchors)
+                )
                 out['__CHECKSUM__'] = _checksum(out)
                 return out
         else:
@@ -1535,10 +1567,10 @@ def get_fused_pipeline(body, nx: int, ny: int):
             def wrapped(xy2angular, disc, radii, anchors):
                 def band(i):
                     row0 = (i * band_rows).astype(jnp.float64)
-                    return impl(
+                    return keep(impl(
                         nx_b, band_rows, xy2angular, disc, radii, anchors,
                         row0=row0,
-                    )
+                    ))
 
                 outs = lax.map(band, jnp.arange(n_bands))
                 out = {
@@ -1624,12 +1656,19 @@ def compute_backplanes_batch(
 
 
 def compute_backplanes(
-    body, *, as_numpy: bool = True, with_checksum: bool = False
+    body, *, as_numpy: bool = True, with_checksum: bool = False,
+    names: tuple[str, ...] | list[str] | None = None,
 ):
     """
     Compute all default backplane images for a BodyXY in one fused device
     program. Returns a dict keyed by backplane name (same keys and value
     conventions as :attr:`BodyXY.backplanes` image getters).
+
+    ``names`` restricts the program to a subset of the default planes
+    (a separate, smaller compile: XLA dead-code elimination on the
+    graph path, a section-gated Mosaic kernel on TPU). Use it for hot
+    loops that stream a few planes; one-off requests should take the
+    already-compiled full set.
 
     With ``with_checksum=True`` returns ``(dict, checksum)`` where
     ``checksum`` is a device scalar computed *inside* the fused program
@@ -1649,7 +1688,10 @@ def compute_backplanes(
     if anchors is None:
         anchors = jax.device_put(body._get_pipeline_anchors())
         body._stable_cache['pipeline anchors (device)'] = anchors
-    fn = get_fused_pipeline(body, nx, ny)
+    fn = get_fused_pipeline(
+        body, nx, ny,
+        planes=None if names is None else tuple(names),
+    )
     out = fn(
         np.asarray(body._get_xy2angular_matrix()),
         np.asarray(body.get_disc_params(), dtype=np.float64),

@@ -153,3 +153,19 @@ class TestFusedPipeline:
         body.set_disc_params(5.5, 6.2, 4.8, 12.0)
         _compare(body)
         assert len(pipeline._PIPELINE_CACHE) == n_compiled
+
+    def test_plane_subset(self):
+        from planetmapper_tpu.pipeline import compute_backplanes
+
+        body = BodyXY('Jupiter', utc='2005-01-01', nx=16, ny=16)
+        body.set_disc_params(8, 8, 6, 3.0)
+        full = compute_backplanes(body)
+        names = ('EMISSION', 'LON-GRAPHIC', 'RING-RADIUS')
+        sub = compute_backplanes(body, names=names)
+        assert set(sub) == set(names)
+        for name in names:
+            np.testing.assert_array_equal(
+                sub[name], full[name], err_msg=name
+            )
+        with pytest.raises(ValueError, match='unknown planes'):
+            compute_backplanes(body, names=('NOT-A-PLANE',))
