@@ -98,11 +98,12 @@ def _host_unit_from_radec(ra, dec):
     f64 transcendentals round at ~1e-9 rad (~km on the target plane), so
     every host-side radec/rect conversion goes through this pair.
     """
-    cos_dec = np.cos(dec)
-    return np.stack(
-        [np.cos(ra) * cos_dec, np.sin(ra) * cos_dec, np.sin(dec)],
-        axis=-1,
-    )
+    with np.errstate(invalid='ignore'):  # NaN in == NaN out, silently
+        cos_dec = np.cos(dec)
+        return np.stack(
+            [np.cos(ra) * cos_dec, np.sin(ra) * cos_dec, np.sin(dec)],
+            axis=-1,
+        )
 
 
 def _host_radec_from_unit(v):

@@ -51,6 +51,16 @@ PLANE_ORDER = (
     'RING-RADIUS', 'RING-LON-GRAPHIC', 'RING-DISTANCE',
 )
 
+#: Planes that are NaN everywhere off the disc: for tiles that the
+#: optimize_speed disc circle proves fully off-disc, the kernel skips
+#: the light-time/intercept chain and these sections at run time and
+#: writes NaN directly (~half the tiles of a typical navigated frame).
+_DISC_PLANES = (
+    'LON-GRAPHIC', 'LAT-GRAPHIC', 'LON-CENTRIC', 'LAT-CENTRIC',
+    'PHASE', 'INCIDENCE', 'EMISSION', 'AZIMUTH',
+    'LOCAL-SOLAR-TIME', 'DISTANCE', 'RADIAL-VELOCITY', 'DOPPLER',
+)
+
 #: Row / column channel layout of the packed 1D term tables.
 _ROW_CH = (
     'sar_h', 'sar_l', 'car1_h', 'car1_l',
@@ -444,7 +454,7 @@ def build_pallas_pipeline(
         idx = dict(pk.idx)
 
         # ====================== the kernel ================================
-        def kernel(scal_ref, rowt_ref, colt_ref, out_ref):
+        def kernel(scal_ref, rowt_ref, colt_ref, out_ref, dist_ref):
             sc = _Read(idx, scal_ref)
             i_band = pl.program_id(0)
             j_tile = pl.program_id(1)
@@ -510,159 +520,400 @@ def build_pallas_pipeline(
             rm0d = sc.ds_vec('rm0')
             rrel0d = sc.ds_vec('rrel0')
             rq0d = sc.ds_vec('rq0')
-            tp = _ds_dot(rrel0d, rdd)
             t_ca0d = sc.ds('t_ca0')
-            # q_bf0 = rq0 + (t_ca0 + tp) rdd + tp rm0
-            tsum = dsk.add(t_ca0d, tp)
-            q_bf0 = [
-                dsk.add(
-                    dsk.add(rq0d[i], dsk.mul(tsum, rdd[i])),
-                    dsk.mul(tp, rm0d[i]),
-                )
-                for i in range(3)
-            ]
             d_bf0 = [dsk.add(rm0d[i], rdd[i]) for i in range(3)]
-            q_b32 = [q_bf0[i][0] for i in range(3)]
             d_b32 = [d_bf0[i][0] for i in range(3)]
 
+            # constants shared by the gated disc chain and the
+            # always-on RA/Dec / limb / ring sections (the chain
+            # shadows its own local copies of several of these)
             r1r0t = sc.mat('r1r0t_32')
             r2hr0t = sc.mat('r2hr0t_32')
             rv0 = sc.vec('rv0_32')
             rv1 = sc.vec('rv1_32')
             rv2h = sc.vec('rv2h_32')
-            r1q = _mv(r1r0t, q_b32)
-            r2q = _mv(r2hr0t, q_b32)
-            r1d = _mv(r1r0t, d_b32)
-            r2d = _mv(r2hr0t, d_b32)
-
-            def corrs(dt):
-                dt2 = dt * dt
-                dt3 = dt2 * dt
-                cq = [
-                    dt * (r1q[i] - rv0[i]) + dt2 * (r2q[i] - rv1[i])
-                    - dt3 * rv2h[i]
-                    for i in range(3)
-                ]
-                cd = [dt * r1d[i] + dt2 * r2d[i] for i in range(3)]
-                return cq, cd
-
-            # ---- f32 light-time fixed point (pipeline.py) ----------------
-            inv_c = f32(1.0 / CLIGHT)
-            tp32 = tp[0]
-            dtau_base = (sc.f32('delta0') - tp32) * inv_c
-            sigma_nf32 = sc.f32('sigma_nf') - tp32
-            inv_r32 = [sc.ds_vec('inv_radii')[i][0] for i in range(3)]
-            re_ir32 = [sc.ds_vec('re_inv_radii')[i][0] for i in range(3)]
-            re32 = sc.f32('re32')
-            dtau = dtau_base
-            for _ in range(n_lt_iters):
-                cq, cd = corrs(dtau)
-                u = [(q_b32[i] + cq[i]) * inv_r32[i] for i in range(3)]
-                v = [(d_b32[i] + cd[i]) * re_ir32[i] for i in range(3)]
-                qa = _dot(v, v)
-                qb = _dot(u, v)
-                qc = _dot(u, u) - f32(1.0)
-                dsc = qb * qb - qa * qc
-                ok = dsc >= 0.0
-                sig = (
-                    (-qb - jnp.sqrt(jnp.where(ok, dsc, f32(0.0)))) / qa
-                    * re32
-                )
-                sig = jnp.where(ok, sig, sigma_nf32)
-                dtau = dtau_base - sig * inv_c
-
-            # ---- ds intercept (pipeline.py 'f64 intercept') --------------
-            corr_q, corr_d = corrs(dtau)
-            q_bf = [dsk.add_f(q_bf0[i], corr_q[i]) for i in range(3)]
-            d_bf = [dsk.add_f(d_bf0[i], corr_d[i]) for i in range(3)]
-            ird = sc.ds_vec('inv_radii')
-            reird = sc.ds_vec('re_inv_radii')
-            u_d = [dsk.mul(q_bf[i], ird[i]) for i in range(3)]
-            v_d = [dsk.mul(d_bf[i], reird[i]) for i in range(3)]
-            qa_d = _ds_dot(v_d, v_d)
-            qb_d = _ds_dot(u_d, v_d)
-            qc_d = dsk.add_f(_ds_dot(u_d, u_d), f32(-1.0))
-            dsc_d = dsk.sub(dsk.sqr(qb_d), dsk.mul(qa_d, qc_d))
-            found = dsc_d[0] >= 0.0
-            dsc_pos = (jnp.where(found, dsc_d[0], f32(0.0)),
-                       jnp.where(found, dsc_d[1], f32(0.0)))
-            red = sc.ds('re')
-            sigma_d = dsk.mul(
-                dsk.mul(
-                    dsk.sub(dsk.neg(qb_d), dsk.sqrt(dsc_pos)),
-                    dsk.recip(qa_d),
-                ),
-                red,
-            )
-            dist_d = dsk.add(dsk.add(t_ca0d, tp), sigma_d)
-            found = found & (dist_d[0] >= 0.0)
+            rot0m = sc.mat('rot0_32')
             nanv = f32(np.nan)
-            sigma_d = (jnp.where(found, sigma_d[0], nanv),
-                       jnp.where(found, sigma_d[1], f32(0.0)))
-            spoint = [
-                dsk.add(q_bf[i], dsk.mul(sigma_d, d_bf[i]))
-                for i in range(3)
-            ]
-            dist_s = (jnp.where(found, dist_d[0], sc.f32('lt_dist')),
-                      jnp.where(found, dist_d[1], f32(0.0)))
-
-            if optimize_speed:
-                dx = xg - sc.f32('x0')
-                dy = yg - sc.f32('y0')
-                off_disc = dx * dx + dy * dy > sc.f32('r_cut2')
-                found = found & ~off_disc
-                spoint = [
-                    (jnp.where(found, s[0], nanv),
-                     jnp.where(found, s[1], f32(0.0)))
-                    for s in spoint
-                ]
-            else:
-                spoint = [
-                    (jnp.where(found, s[0], nanv),
-                     jnp.where(found, s[1], f32(0.0)))
-                    for s in spoint
-                ]
-
-            # post-loop epoch: dtau = (sp_dist - dist)/c, ds difference
-            dtau32 = dsk.mul_f(
-                dsk.sub(sc.ds('sp_dist'), dist_s), inv_c
-            )[0]
-
-            # ---- lon/lat (pipeline.py 'lon/lat') -------------------------
-            px32, py32, pz32 = spoint[0][0], spoint[1][0], spoint[2][0]
-            rho32 = jnp.sqrt(px32 * px32 + py32 * py32)
+            inv_c = f32(1.0 / CLIGHT)
+            inv_deg = f32(1.0 / DEG)
+            re32 = sc.f32('re32')
             e2_32 = sc.f32('e2')
             ep2_32 = sc.f32('ep2')
             omf32 = sc.f32('omf')
-            inv_deg = f32(1.0 / DEG)
-            if need('LON-GRAPHIC', 'LON-CENTRIC', 'LOCAL-SOLAR-TIME'):
-                lon_e = dsk.atan2_ds(spoint[1], spoint[0])
-            if 'LON-GRAPHIC' in P:
-                lon_deg = dsk.mul_f(lon_e, f32(lon_sign / DEG))
-                lon_graphic = _mod360_ds(lon_deg)
-                out_ref[P['LON-GRAPHIC']] = jnp.where(
-                    found, lon_graphic[0], nanv
+            ird = sc.ds_vec('inv_radii')
+
+            # ---- the disc chain: light-time fixed point, intercept and
+            # every on-disc-only section. Runs per tile, gated off for
+            # tiles fully outside the disc circle (optimize_speed).
+            def disc_chain():
+                tp = _ds_dot(rrel0d, rdd)
+                # q_bf0 = rq0 + (t_ca0 + tp) rdd + tp rm0
+                tsum = dsk.add(t_ca0d, tp)
+                q_bf0 = [
+                    dsk.add(
+                        dsk.add(rq0d[i], dsk.mul(tsum, rdd[i])),
+                        dsk.mul(tp, rm0d[i]),
+                    )
+                    for i in range(3)
+                ]
+                q_b32 = [q_bf0[i][0] for i in range(3)]
+                r1q = _mv(r1r0t, q_b32)
+                r2q = _mv(r2hr0t, q_b32)
+                r1d = _mv(r1r0t, d_b32)
+                r2d = _mv(r2hr0t, d_b32)
+
+                def corrs(dt):
+                    dt2 = dt * dt
+                    dt3 = dt2 * dt
+                    cq = [
+                        dt * (r1q[i] - rv0[i]) + dt2 * (r2q[i] - rv1[i])
+                        - dt3 * rv2h[i]
+                        for i in range(3)
+                    ]
+                    cd = [dt * r1d[i] + dt2 * r2d[i] for i in range(3)]
+                    return cq, cd
+
+                # ---- f32 light-time fixed point (pipeline.py) ----------------
+                inv_c = f32(1.0 / CLIGHT)
+                tp32 = tp[0]
+                dtau_base = (sc.f32('delta0') - tp32) * inv_c
+                sigma_nf32 = sc.f32('sigma_nf') - tp32
+                inv_r32 = [sc.ds_vec('inv_radii')[i][0] for i in range(3)]
+                re_ir32 = [sc.ds_vec('re_inv_radii')[i][0] for i in range(3)]
+                re32 = sc.f32('re32')
+                dtau = dtau_base
+                for _ in range(n_lt_iters):
+                    cq, cd = corrs(dtau)
+                    u = [(q_b32[i] + cq[i]) * inv_r32[i] for i in range(3)]
+                    v = [(d_b32[i] + cd[i]) * re_ir32[i] for i in range(3)]
+                    qa = _dot(v, v)
+                    qb = _dot(u, v)
+                    qc = _dot(u, u) - f32(1.0)
+                    dsc = qb * qb - qa * qc
+                    ok = dsc >= 0.0
+                    sig = (
+                        (-qb - jnp.sqrt(jnp.where(ok, dsc, f32(0.0)))) / qa
+                        * re32
+                    )
+                    sig = jnp.where(ok, sig, sigma_nf32)
+                    dtau = dtau_base - sig * inv_c
+
+                # ---- ds intercept (pipeline.py 'f64 intercept') --------------
+                corr_q, corr_d = corrs(dtau)
+                q_bf = [dsk.add_f(q_bf0[i], corr_q[i]) for i in range(3)]
+                d_bf = [dsk.add_f(d_bf0[i], corr_d[i]) for i in range(3)]
+                ird = sc.ds_vec('inv_radii')
+                reird = sc.ds_vec('re_inv_radii')
+                u_d = [dsk.mul(q_bf[i], ird[i]) for i in range(3)]
+                v_d = [dsk.mul(d_bf[i], reird[i]) for i in range(3)]
+                qa_d = _ds_dot(v_d, v_d)
+                qb_d = _ds_dot(u_d, v_d)
+                qc_d = dsk.add_f(_ds_dot(u_d, u_d), f32(-1.0))
+                dsc_d = dsk.sub(dsk.sqr(qb_d), dsk.mul(qa_d, qc_d))
+                found = dsc_d[0] >= 0.0
+                dsc_pos = (jnp.where(found, dsc_d[0], f32(0.0)),
+                           jnp.where(found, dsc_d[1], f32(0.0)))
+                red = sc.ds('re')
+                sigma_d = dsk.mul(
+                    dsk.mul(
+                        dsk.sub(dsk.neg(qb_d), dsk.sqrt(dsc_pos)),
+                        dsk.recip(qa_d),
+                    ),
+                    red,
                 )
-            if 'LAT-GRAPHIC' in P:
-                lat_gd = _bowring_lat(
-                    px32, py32, pz32, rho32, re32, omf32, e2_32, ep2_32
+                dist_d = dsk.add(dsk.add(t_ca0d, tp), sigma_d)
+                found = found & (dist_d[0] >= 0.0)
+                nanv = f32(np.nan)
+                sigma_d = (jnp.where(found, sigma_d[0], nanv),
+                           jnp.where(found, sigma_d[1], f32(0.0)))
+                spoint = [
+                    dsk.add(q_bf[i], dsk.mul(sigma_d, d_bf[i]))
+                    for i in range(3)
+                ]
+                dist_s = (jnp.where(found, dist_d[0], sc.f32('lt_dist')),
+                          jnp.where(found, dist_d[1], f32(0.0)))
+
+                if optimize_speed:
+                    dx = xg - sc.f32('x0')
+                    dy = yg - sc.f32('y0')
+                    off_disc = dx * dx + dy * dy > sc.f32('r_cut2')
+                    found = found & ~off_disc
+                    spoint = [
+                        (jnp.where(found, s[0], nanv),
+                         jnp.where(found, s[1], f32(0.0)))
+                        for s in spoint
+                    ]
+                else:
+                    spoint = [
+                        (jnp.where(found, s[0], nanv),
+                         jnp.where(found, s[1], f32(0.0)))
+                        for s in spoint
+                    ]
+
+                # post-loop epoch: dtau = (sp_dist - dist)/c, ds difference
+                dtau32 = dsk.mul_f(
+                    dsk.sub(sc.ds('sp_dist'), dist_s), inv_c
+                )[0]
+
+                # ---- lon/lat (pipeline.py 'lon/lat') -------------------------
+                px32, py32, pz32 = spoint[0][0], spoint[1][0], spoint[2][0]
+                rho32 = jnp.sqrt(px32 * px32 + py32 * py32)
+                e2_32 = sc.f32('e2')
+                ep2_32 = sc.f32('ep2')
+                omf32 = sc.f32('omf')
+                inv_deg = f32(1.0 / DEG)
+                if need('LON-GRAPHIC', 'LON-CENTRIC', 'LOCAL-SOLAR-TIME'):
+                    lon_e = dsk.atan2_ds(spoint[1], spoint[0])
+                if 'LON-GRAPHIC' in P:
+                    lon_deg = dsk.mul_f(lon_e, f32(lon_sign / DEG))
+                    lon_graphic = _mod360_ds(lon_deg)
+                    out_ref[P['LON-GRAPHIC']] = jnp.where(
+                        found, lon_graphic[0], nanv
+                    )
+                if 'LAT-GRAPHIC' in P:
+                    lat_gd = _bowring_lat(
+                        px32, py32, pz32, rho32, re32, omf32, e2_32, ep2_32
+                    )
+                    out_ref[P['LAT-GRAPHIC']] = jnp.where(
+                        found, lat_gd * inv_deg, nanv
+                    )
+                if 'LON-CENTRIC' in P:
+                    lon_c = _mod360_ds(dsk.mul_f(lon_e, f32(1.0 / DEG)))
+                    out_ref[P['LON-CENTRIC']] = jnp.where(
+                        found, lon_c[0], nanv
+                    )
+                if 'LAT-CENTRIC' in P:
+                    out_ref[P['LAT-CENTRIC']] = jnp.where(
+                        found, dsk.atan2(pz32, rho32) * inv_deg, nanv
+                    )
+
+                # ---- illumination (f32; pipeline.py 'illumination') ----------
+                rot1m = sc.mat('rot1_32')
+                rot2hm = sc.mat('rot2h_32')
+                sp32 = [px32, py32, pz32]
+                # bf2j = (rot0 + rot1 dtau + rot2h dtau^2)^T
+                dt2 = dtau32 * dtau32
+
+                def bf2j(vv):
+                    return [
+                        (rot0m[0][i] + rot1m[0][i] * dtau32
+                         + rot2hm[0][i] * dt2) * vv[0]
+                        + (rot0m[1][i] + rot1m[1][i] * dtau32
+                           + rot2hm[1][i] * dt2) * vv[1]
+                        + (rot0m[2][i] + rot1m[2][i] * dtau32
+                           + rot2hm[2][i] * dt2) * vv[2]
+                        for i in range(3)
+                    ]
+
+                v32 = sc.vec('v32')
+                need_u_obs = need(
+                    'PHASE', 'EMISSION', 'RADIAL-VELOCITY', 'DOPPLER'
                 )
-                out_ref[P['LAT-GRAPHIC']] = jnp.where(
-                    found, lat_gd * inv_deg, nanv
-                )
-            if 'LON-CENTRIC' in P:
-                lon_c = _mod360_ds(dsk.mul_f(lon_e, f32(1.0 / DEG)))
-                out_ref[P['LON-CENTRIC']] = jnp.where(
-                    found, lon_c[0], nanv
-                )
-            if 'LAT-CENTRIC' in P:
-                out_ref[P['LAT-CENTRIC']] = jnp.where(
-                    found, dsk.atan2(pz32, rho32) * inv_deg, nanv
-                )
+                need_u_sun = have_sun and need('PHASE', 'INCIDENCE',
+                                               'AZIMUTH')
+                if need_u_obs or need_u_sun:
+                    point_j = bf2j(sp32)
+                if need_u_obs:
+                    trel = sc.vec('targ_rel0_32')
+                    srfvec = [
+                        trel[i] + v32[i] * dtau32 + point_j[i]
+                        for i in range(3)
+                    ]
+                    u_obs = _unit([-srfvec[0], -srfvec[1], -srfvec[2]])
+                if need_u_sun:
+                    tpos = sc.vec('targ_pos0_32')
+                    point_ssb = [
+                        tpos[i] + v32[i] * dtau32 + point_j[i]
+                        for i in range(3)
+                    ]
+                    spos = sc.vec('sun_pos0_32')
+                    svel = sc.vec('sun_vel0_32')
+                    sun_off = [spos[i] - point_ssb[i] for i in range(3)]
+                    lt_s = jnp.sqrt(_dot(sun_off, sun_off)) * inv_c
+                    sun_dtau = sc.f32('sun_depoch') + dtau32 - lt_s
+                    sun_dir = [
+                        spos[i] + svel[i] * sun_dtau - point_ssb[i]
+                        for i in range(3)
+                    ]
+                    u_sun = _unit(sun_dir)
+                elif need('PHASE', 'INCIDENCE'):
+                    u_sun = [jnp.full_like(px32, np.nan)] * 3
+                if need('INCIDENCE', 'EMISSION'):
+                    n_bf = [
+                        sp32[i] * (inv_r32[i] * inv_r32[i]) for i in range(3)
+                    ]
+                    n_bf = _unit(n_bf)
+                    n_j = bf2j(n_bf)
+                if 'PHASE' in P:
+                    out_ref[P['PHASE']] = _vsep(u_sun, u_obs) * inv_deg
+                if 'INCIDENCE' in P:
+                    out_ref[P['INCIDENCE']] = _vsep(n_j, u_sun) * inv_deg
+                if 'EMISSION' in P:
+                    out_ref[P['EMISSION']] = _vsep(n_j, u_obs) * inv_deg
+
+                # ---- azimuth (ds projections; pipeline.py 'Azimuth') ---------
+                if 'AZIMUTH' not in P:
+                    pass
+                elif have_sun:
+                    csd = sc.ds_vec('cs_bf')
+                    cod = sc.ds_vec('co_bf')
+                    r1s = sc.vec('r1_s')
+                    r2s = sc.vec('r2_s')
+                    r1o = sc.vec('r1_o')
+                    r2o = sc.vec('r2_o')
+                    rsv0 = sc.vec('rsv0_32')
+                    nsc = sc.ds_vec('n_scale')
+                    s_v, o_v, n_v = [], [], []
+                    for i in range(3):
+                        sp_i = spoint[i]
+                        corr_s = (
+                            r1s[i] * dtau32 + r2s[i] * dt2
+                            + rsv0[i] * sun_dtau
+                            - rv0[i] * dtau32 - rv1[i] * dt2
+                        )
+                        corr_o = (
+                            r1o[i] * dtau32 + r2o[i] * dt2
+                            - rv0[i] * dtau32 - rv1[i] * dt2
+                        )
+                        s_v.append(
+                            dsk.add_f(dsk.sub(csd[i], sp_i), corr_s)
+                        )
+                        o_v.append(
+                            dsk.add_f(dsk.sub(cod[i], sp_i), corr_o)
+                        )
+                        n_v.append(dsk.mul(sp_i, nsc[i]))
+                    nn_d = _ds_dot(n_v, n_v)
+                    ns_d = _ds_dot(n_v, s_v)
+                    no_d = _ds_dot(n_v, o_v)
+                    a_v = [
+                        dsk.sub(dsk.mul(s_v[i], nn_d),
+                                dsk.mul(n_v[i], ns_d))[0]
+                        for i in range(3)
+                    ]
+                    b_v = [
+                        dsk.sub(dsk.mul(o_v[i], nn_d),
+                                dsk.mul(n_v[i], no_d))[0]
+                        for i in range(3)
+                    ]
+                    crx = a_v[1] * b_v[2] - a_v[2] * b_v[1]
+                    cry = a_v[2] * b_v[0] - a_v[0] * b_v[2]
+                    crz = a_v[0] * b_v[1] - a_v[1] * b_v[0]
+                    saz = jnp.sqrt(crx * crx + cry * cry + crz * crz)
+                    caz = _dot(a_v, b_v)
+                    out_ref[P['AZIMUTH']] = (
+                        f32(np.pi) - dsk.atan2(saz, caz)
+                    ) * inv_deg
+                else:
+                    out_ref[P['AZIMUTH']] = jnp.full_like(px32, np.nan)
+
+                # ---- local solar time (ds; pipeline.py 'local solar time') ---
+                if 'LOCAL-SOLAR-TIME' in P:
+                    sol = sc.ds('solar_lon_e')
+                    lst = dsk.add_f(
+                        dsk.mul_pair(
+                            dsk.sub(lon_e, sol),
+                            dsk.const(spin_sign * 12.0 / np.pi),
+                        ),
+                        f32(12.0),
+                    )
+                    for _ in range(2):
+                        la = dsk.add_f(lst, f32(24.0))
+                        lst = (jnp.where(lst[0] < 0.0, la[0], lst[0]),
+                               jnp.where(lst[0] < 0.0, la[1], lst[1]))
+                    for _ in range(2):
+                        ls = dsk.add_f(lst, f32(-24.0))
+                        lst = (jnp.where(lst[0] >= 24.0, ls[0], lst[0]),
+                               jnp.where(lst[0] >= 24.0, ls[1], lst[1]))
+                    if lst_quant:
+                        # floor(lst * 3600)/3600 with the ds value: hi*3600
+                        # is not exact in f32; use ds mul + a lo-aware floor
+                        m = dsk.mul_f(lst, f32(3600.0))
+                        fl = jnp.floor(m[0])
+                        frac = (m[0] - fl) + m[1]
+                        fl = jnp.where(frac >= 1.0, fl + f32(1.0), fl)
+                        fl = jnp.where(frac < 0.0, fl - f32(1.0), fl)
+                        # correctly-rounded (matches f64/3600 -> f32)
+                        lst_v = fl / f32(3600.0)
+                    else:
+                        lst_v = lst[0]
+                    out_ref[P['LOCAL-SOLAR-TIME']] = jnp.where(
+                        found, lst_v, nanv
+                    )
+
+                # ---- state (f32; pipeline.py 'state') ------------------------
+                if 'DISTANCE' in P:
+                    out_ref[P['DISTANCE']] = jnp.where(
+                        found, dist_s[0], nanv
+                    )
+
+                if need('RADIAL-VELOCITY', 'DOPPLER'):
+                    def bf2j_dot(vv):
+                        return [
+                            (rot1m[0][i] + f32(2.0) * rot2hm[0][i] * dtau32)
+                            * vv[0]
+                            + (rot1m[1][i]
+                               + f32(2.0) * rot2hm[1][i] * dtau32)
+                            * vv[1]
+                            + (rot1m[2][i]
+                               + f32(2.0) * rot2hm[2][i] * dtau32)
+                            * vv[2]
+                            for i in range(3)
+                        ]
+
+                    p_vel = bf2j_dot(sp32)
+                    p_vel = [v32[i] + p_vel[i] for i in range(3)]
+                    ovel = sc.vec('obs_vel_32')
+                    rhat = [-u_obs[0], -u_obs[1], -u_obs[2]]
+                    rv_t = _dot(rhat, p_vel)
+                    rv_o = _dot(rhat, ovel)
+                    dltdt = (rv_t - rv_o) / (f32(CLIGHT) + rv_t)
+                    vel = [p_vel[i] * (f32(1.0) - dltdt) - ovel[i]
+                           for i in range(3)]
+                    rv = _dot(rhat, vel)
+                    if 'RADIAL-VELOCITY' in P:
+                        out_ref[P['RADIAL-VELOCITY']] = jnp.where(
+                            found, rv, nanv
+                        )
+                    if 'DOPPLER' in P:
+                        beta = rv * inv_c
+                        out_ref[P['DOPPLER']] = jnp.sqrt(
+                            (f32(1.0) + beta) / (f32(1.0) - beta)
+                        )
+
+
+                # ring-occlusion term for the (ungated) ring section:
+                # +inf where no surface intercept -> hidden stays False
+                dist_ref[:, :] = jnp.where(found, dist_s[0], f32(np.inf))
+
+            def off_tile():
+                blk = jnp.full((B, T), nanv, f32)
+                for _n in _DISC_PLANES:
+                    if _n in P:
+                        out_ref[P[_n]] = blk
+                dist_ref[:, :] = jnp.full((B, T), np.float32(np.inf), f32)
+
+            chain_needed = need(*_DISC_PLANES) or need(
+                'RING-RADIUS', 'RING-LON-GRAPHIC', 'RING-DISTANCE'
+            )
+            if chain_needed and optimize_speed:
+                # Tile-level disc test: closest point of this tile's
+                # pixel rectangle to the disc centre vs the same r_cut
+                # circle the per-pixel mask uses. Fully-off tiles skip
+                # the whole chain at run time.
+                fx0 = sc.f32('x0')
+                fy0 = sc.f32('y0')
+                tx0 = (j_tile * T).astype(jnp.float32)
+                ty0 = (i_band * B).astype(jnp.float32) + sc.f32('row0')
+                ddx = jnp.clip(fx0, tx0, tx0 + f32(T - 1)) - fx0
+                ddy = jnp.clip(fy0, ty0, ty0 + f32(B - 1)) - fy0
+                touch = ddx * ddx + ddy * ddy <= sc.f32('r_cut2')
+                pl.when(touch)(disc_chain)
+                pl.when(jnp.logical_not(touch))(off_tile)
+            elif chain_needed:
+                disc_chain()
 
             # ---- RA/Dec: J2000 f32 rays (pipeline.py 'RA/Dec') -----------
             # dd32 = rot0^T @ rdd32 (rot0 orthonormal)
-            rot0m = sc.mat('rot0_32')
             rdd32 = [rdd[i][0] for i in range(3)]
             if need('RA', 'DEC'):
                 dj = [
@@ -704,199 +955,6 @@ def build_pallas_pipeline(
                 if 'ANGULAR-Y' in P:
                     out_ref[P['ANGULAR-Y']] = (
                         km_y[0] * inv_kpa + jnp.zeros_like(xg)
-                    )
-
-            # ---- illumination (f32; pipeline.py 'illumination') ----------
-            rot1m = sc.mat('rot1_32')
-            rot2hm = sc.mat('rot2h_32')
-            sp32 = [px32, py32, pz32]
-            # bf2j = (rot0 + rot1 dtau + rot2h dtau^2)^T
-            dt2 = dtau32 * dtau32
-
-            def bf2j(vv):
-                return [
-                    (rot0m[0][i] + rot1m[0][i] * dtau32
-                     + rot2hm[0][i] * dt2) * vv[0]
-                    + (rot0m[1][i] + rot1m[1][i] * dtau32
-                       + rot2hm[1][i] * dt2) * vv[1]
-                    + (rot0m[2][i] + rot1m[2][i] * dtau32
-                       + rot2hm[2][i] * dt2) * vv[2]
-                    for i in range(3)
-                ]
-
-            v32 = sc.vec('v32')
-            need_u_obs = need(
-                'PHASE', 'EMISSION', 'RADIAL-VELOCITY', 'DOPPLER'
-            )
-            need_u_sun = have_sun and need('PHASE', 'INCIDENCE',
-                                           'AZIMUTH')
-            if need_u_obs or need_u_sun:
-                point_j = bf2j(sp32)
-            if need_u_obs:
-                trel = sc.vec('targ_rel0_32')
-                srfvec = [
-                    trel[i] + v32[i] * dtau32 + point_j[i]
-                    for i in range(3)
-                ]
-                u_obs = _unit([-srfvec[0], -srfvec[1], -srfvec[2]])
-            if need_u_sun:
-                tpos = sc.vec('targ_pos0_32')
-                point_ssb = [
-                    tpos[i] + v32[i] * dtau32 + point_j[i]
-                    for i in range(3)
-                ]
-                spos = sc.vec('sun_pos0_32')
-                svel = sc.vec('sun_vel0_32')
-                sun_off = [spos[i] - point_ssb[i] for i in range(3)]
-                lt_s = jnp.sqrt(_dot(sun_off, sun_off)) * inv_c
-                sun_dtau = sc.f32('sun_depoch') + dtau32 - lt_s
-                sun_dir = [
-                    spos[i] + svel[i] * sun_dtau - point_ssb[i]
-                    for i in range(3)
-                ]
-                u_sun = _unit(sun_dir)
-            elif need('PHASE', 'INCIDENCE'):
-                u_sun = [jnp.full_like(px32, np.nan)] * 3
-            if need('INCIDENCE', 'EMISSION'):
-                n_bf = [
-                    sp32[i] * (inv_r32[i] * inv_r32[i]) for i in range(3)
-                ]
-                n_bf = _unit(n_bf)
-                n_j = bf2j(n_bf)
-            if 'PHASE' in P:
-                out_ref[P['PHASE']] = _vsep(u_sun, u_obs) * inv_deg
-            if 'INCIDENCE' in P:
-                out_ref[P['INCIDENCE']] = _vsep(n_j, u_sun) * inv_deg
-            if 'EMISSION' in P:
-                out_ref[P['EMISSION']] = _vsep(n_j, u_obs) * inv_deg
-
-            # ---- azimuth (ds projections; pipeline.py 'Azimuth') ---------
-            if 'AZIMUTH' not in P:
-                pass
-            elif have_sun:
-                csd = sc.ds_vec('cs_bf')
-                cod = sc.ds_vec('co_bf')
-                r1s = sc.vec('r1_s')
-                r2s = sc.vec('r2_s')
-                r1o = sc.vec('r1_o')
-                r2o = sc.vec('r2_o')
-                rsv0 = sc.vec('rsv0_32')
-                nsc = sc.ds_vec('n_scale')
-                s_v, o_v, n_v = [], [], []
-                for i in range(3):
-                    sp_i = spoint[i]
-                    corr_s = (
-                        r1s[i] * dtau32 + r2s[i] * dt2
-                        + rsv0[i] * sun_dtau
-                        - rv0[i] * dtau32 - rv1[i] * dt2
-                    )
-                    corr_o = (
-                        r1o[i] * dtau32 + r2o[i] * dt2
-                        - rv0[i] * dtau32 - rv1[i] * dt2
-                    )
-                    s_v.append(
-                        dsk.add_f(dsk.sub(csd[i], sp_i), corr_s)
-                    )
-                    o_v.append(
-                        dsk.add_f(dsk.sub(cod[i], sp_i), corr_o)
-                    )
-                    n_v.append(dsk.mul(sp_i, nsc[i]))
-                nn_d = _ds_dot(n_v, n_v)
-                ns_d = _ds_dot(n_v, s_v)
-                no_d = _ds_dot(n_v, o_v)
-                a_v = [
-                    dsk.sub(dsk.mul(s_v[i], nn_d),
-                            dsk.mul(n_v[i], ns_d))[0]
-                    for i in range(3)
-                ]
-                b_v = [
-                    dsk.sub(dsk.mul(o_v[i], nn_d),
-                            dsk.mul(n_v[i], no_d))[0]
-                    for i in range(3)
-                ]
-                crx = a_v[1] * b_v[2] - a_v[2] * b_v[1]
-                cry = a_v[2] * b_v[0] - a_v[0] * b_v[2]
-                crz = a_v[0] * b_v[1] - a_v[1] * b_v[0]
-                saz = jnp.sqrt(crx * crx + cry * cry + crz * crz)
-                caz = _dot(a_v, b_v)
-                out_ref[P['AZIMUTH']] = (
-                    f32(np.pi) - dsk.atan2(saz, caz)
-                ) * inv_deg
-            else:
-                out_ref[P['AZIMUTH']] = jnp.full_like(px32, np.nan)
-
-            # ---- local solar time (ds; pipeline.py 'local solar time') ---
-            if 'LOCAL-SOLAR-TIME' in P:
-                sol = sc.ds('solar_lon_e')
-                lst = dsk.add_f(
-                    dsk.mul_pair(
-                        dsk.sub(lon_e, sol),
-                        dsk.const(spin_sign * 12.0 / np.pi),
-                    ),
-                    f32(12.0),
-                )
-                for _ in range(2):
-                    la = dsk.add_f(lst, f32(24.0))
-                    lst = (jnp.where(lst[0] < 0.0, la[0], lst[0]),
-                           jnp.where(lst[0] < 0.0, la[1], lst[1]))
-                for _ in range(2):
-                    ls = dsk.add_f(lst, f32(-24.0))
-                    lst = (jnp.where(lst[0] >= 24.0, ls[0], lst[0]),
-                           jnp.where(lst[0] >= 24.0, ls[1], lst[1]))
-                if lst_quant:
-                    # floor(lst * 3600)/3600 with the ds value: hi*3600
-                    # is not exact in f32; use ds mul + a lo-aware floor
-                    m = dsk.mul_f(lst, f32(3600.0))
-                    fl = jnp.floor(m[0])
-                    frac = (m[0] - fl) + m[1]
-                    fl = jnp.where(frac >= 1.0, fl + f32(1.0), fl)
-                    fl = jnp.where(frac < 0.0, fl - f32(1.0), fl)
-                    # correctly-rounded (matches f64/3600 -> f32)
-                    lst_v = fl / f32(3600.0)
-                else:
-                    lst_v = lst[0]
-                out_ref[P['LOCAL-SOLAR-TIME']] = jnp.where(
-                    found, lst_v, nanv
-                )
-
-            # ---- state (f32; pipeline.py 'state') ------------------------
-            if 'DISTANCE' in P:
-                out_ref[P['DISTANCE']] = jnp.where(
-                    found, dist_s[0], nanv
-                )
-
-            if need('RADIAL-VELOCITY', 'DOPPLER'):
-                def bf2j_dot(vv):
-                    return [
-                        (rot1m[0][i] + f32(2.0) * rot2hm[0][i] * dtau32)
-                        * vv[0]
-                        + (rot1m[1][i]
-                           + f32(2.0) * rot2hm[1][i] * dtau32)
-                        * vv[1]
-                        + (rot1m[2][i]
-                           + f32(2.0) * rot2hm[2][i] * dtau32)
-                        * vv[2]
-                        for i in range(3)
-                    ]
-
-                p_vel = bf2j_dot(sp32)
-                p_vel = [v32[i] + p_vel[i] for i in range(3)]
-                ovel = sc.vec('obs_vel_32')
-                rhat = [-u_obs[0], -u_obs[1], -u_obs[2]]
-                rv_t = _dot(rhat, p_vel)
-                rv_o = _dot(rhat, ovel)
-                dltdt = (rv_t - rv_o) / (f32(CLIGHT) + rv_t)
-                vel = [p_vel[i] * (f32(1.0) - dltdt) - ovel[i]
-                       for i in range(3)]
-                rv = _dot(rhat, vel)
-                if 'RADIAL-VELOCITY' in P:
-                    out_ref[P['RADIAL-VELOCITY']] = jnp.where(
-                        found, rv, nanv
-                    )
-                if 'DOPPLER' in P:
-                    beta = rv * inv_c
-                    out_ref[P['DOPPLER']] = jnp.sqrt(
-                        (f32(1.0) + beta) / (f32(1.0) - beta)
                     )
 
             # ---- limb (ds chains; pipeline.py 'limb coordinates') --------
@@ -985,7 +1043,7 @@ def build_pallas_pipeline(
                 )
                 s_r = s_r_d[0]
                 ring_ok = (~parallel) & (~in_plane) & (s_r >= 0.0)
-                hidden = found & (dist_s[0] < s_r)
+                hidden = dist_ref[:, :] < s_r
                 ring_invalid = (~ring_ok) | hidden
                 if need('RING-RADIUS', 'RING-LON-GRAPHIC'):
                     rsoc = sc.ds_vec('rso_c')
@@ -1082,6 +1140,9 @@ def build_pallas_pipeline(
                 lambda i, j: (np.int32(0), i, j),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((band_rows, col_tile), jnp.float32),
+            ],
             interpret=interpret,
         )(scal, rowt, colt)
 
