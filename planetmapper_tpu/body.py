@@ -150,9 +150,51 @@ def _default_wireframe_formatting():
 
 
 class _LazyFormattingDict(dict):
+    """Defaults are filled on first *read* (not at import: they need
+    matplotlib). Every read path must materialise - ``get``/``keys``
+    don't call ``__missing__``, and a consumer iterating an
+    unmaterialised dict would silently see no formatting (and drop the
+    per-plot coordinate transform carried through the same kwargs)."""
+
+    _materialised = False
+
+    def _materialise(self):
+        if not self._materialised:
+            self._materialised = True
+            # setdefault: a user who customised entries before first
+            # use keeps their values; only missing components fill in
+            for k, v in _default_wireframe_formatting().items():
+                self.setdefault(k, v)
+
     def __missing__(self, key):
-        self.update(_default_wireframe_formatting())
+        self._materialise()
+        if key not in self:
+            raise KeyError(key)
         return self[key]
+
+    def get(self, key, default=None):
+        self._materialise()
+        return dict.get(self, key, default)
+
+    def keys(self):
+        self._materialise()
+        return dict.keys(self)
+
+    def items(self):
+        self._materialise()
+        return dict.items(self)
+
+    def values(self):
+        self._materialise()
+        return dict.values(self)
+
+    def __iter__(self):
+        self._materialise()
+        return dict.__iter__(self)
+
+    def __contains__(self, key):
+        self._materialise()
+        return dict.__contains__(self, key)
 
 
 DEFAULT_WIREFRAME_FORMATTING: dict = _LazyFormattingDict()

@@ -638,17 +638,11 @@ def build_pallas_pipeline(
                     dy = yg - sc.f32('y0')
                     off_disc = dx * dx + dy * dy > sc.f32('r_cut2')
                     found = found & ~off_disc
-                    spoint = [
-                        (jnp.where(found, s[0], nanv),
-                         jnp.where(found, s[1], f32(0.0)))
-                        for s in spoint
-                    ]
-                else:
-                    spoint = [
-                        (jnp.where(found, s[0], nanv),
-                         jnp.where(found, s[1], f32(0.0)))
-                        for s in spoint
-                    ]
+                spoint = [
+                    (jnp.where(found, s[0], nanv),
+                     jnp.where(found, s[1], f32(0.0)))
+                    for s in spoint
+                ]
 
                 # post-loop epoch: dtau = (sp_dist - dist)/c, ds difference
                 dtau32 = dsk.mul_f(
@@ -906,9 +900,13 @@ def build_pallas_pipeline(
                 ty0 = (i_band * B).astype(jnp.float32) + sc.f32('row0')
                 ddx = jnp.clip(fx0, tx0, tx0 + f32(T - 1)) - fx0
                 ddy = jnp.clip(fy0, ty0, ty0 + f32(B - 1)) - fy0
-                touch = ddx * ddx + ddy * ddy <= sc.f32('r_cut2')
-                pl.when(touch)(disc_chain)
-                pl.when(jnp.logical_not(touch))(off_tile)
+                # Skip only on a *proven* miss: NaN disc params compare
+                # False here, so degenerate navigation conservatively
+                # runs the chain (matching the per-pixel mask) instead
+                # of blanking the frame.
+                miss = ddx * ddx + ddy * ddy > sc.f32('r_cut2')
+                pl.when(jnp.logical_not(miss))(disc_chain)
+                pl.when(miss)(off_tile)
             elif chain_needed:
                 disc_chain()
 
@@ -1114,9 +1112,22 @@ def build_pallas_pipeline(
                     )
 
         grid = (ny // band_rows, nx // col_tile)
+        # Under ``jax.shard_map`` (parallel/sharding.py sharded_backplanes)
+        # the traced inputs carry varying-manual-axes (vma) metadata and
+        # check_vma requires the pallas_call out_shape to declare its own:
+        # the output varies exactly on the union of the input axes (row0
+        # is derived from axis_index, so ``scal``/``rowt`` vary on the
+        # sharded row axis). Outside shard_map every vma is frozenset()
+        # and this is a no-op.
+        out_vma = frozenset().union(
+            *(getattr(jax.typeof(a), 'vma', None) or frozenset()
+              for a in (scal, rowt, colt))
+        )
         stacked = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((NP, ny, nx), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (NP, ny, nx), jnp.float32, vma=out_vma
+            ),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(

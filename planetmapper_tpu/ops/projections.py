@@ -191,7 +191,13 @@ class ProjectionTransformer:
         c = np.arccos(np.clip(cosc, -1.0, 1.0))
         with np.errstate(invalid='ignore', divide='ignore'):
             if self.kind == 'aeqd':
+                # The antipode (c = pi) is direction-degenerate: PROJ
+                # raises a tolerance-condition error there (non-finite
+                # through pyproj), so callers - e.g. the map wireframe's
+                # pole labels - must see NaN, not the float-rounding
+                # garbage of c/sin(c) at sin(c) ~ 1e-16
                 k = np.where(c != 0.0, c / np.sin(c), 1.0)
+                k = np.where(cosc <= -1.0 + 1e-12, np.nan, k)
             elif self.kind == 'laea':
                 k = np.sqrt(
                     np.where(cosc > -1.0, 2.0 / (1.0 + cosc), np.nan)

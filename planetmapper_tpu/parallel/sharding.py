@@ -50,7 +50,9 @@ def _pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
+def sharded_backplanes(body, mesh=None, *, use_pallas=None,
+                       interpret: bool = False,
+                       trace_only: bool = False) -> dict[str, Any]:
     """
     Compute all default backplanes with the pixel-row axis sharded across
     the mesh. The forward geometry pass is communication-free: each
@@ -62,6 +64,18 @@ def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
     globally-sharded arrays (an ``all_gather`` happens only if the
     caller converts to a single host array, mirroring the reference's
     backplane-assembly step in FITS export).
+
+    ``use_pallas``/``interpret`` override the kernel selection (normally
+    automatic). ``trace_only=True`` abstractly evaluates the sharded
+    program (``jit(...).eval_shape``) instead of executing it and
+    returns the output ShapeDtypeStructs: this runs shard_map's full
+    trace - including varying-manual-axes (vma) checking on the
+    ``pallas_call`` out shapes - so CPU-mesh dry runs
+    (``__graft_entry__.dryrun_multichip``) can validate the exact
+    shard_map+Mosaic composition the TPU takes in production without
+    hardware (the Pallas HLO interpreter cannot *execute* varying
+    block inputs today, but the bug class this guards against is a
+    trace-time error).
     """
     import jax
     import jax.numpy as jnp
@@ -76,10 +90,17 @@ def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
     n_shard = mesh.shape[axis]
     nx, ny = body.get_img_size()
     nx_b = _bucket_size(nx)
+    if use_pallas:
+        # Forced kernel path: pad up to the Mosaic tile regardless of
+        # the bucket (the auto path only picks Pallas when the bucket
+        # already tiles).
+        nx_b = _pad_to_multiple(nx_b, 128)
     # Each device's row block must satisfy the kernel's tiling
     # constraint; probe the gate at the Pallas-friendly block size
     ny_blk = _pad_to_multiple(-(-ny // n_shard), 64)
-    impl, use_pallas = select_pipeline_impl(body, nx_b, ny_blk)
+    impl, use_pallas = select_pipeline_impl(
+        body, nx_b, ny_blk, use_pallas=use_pallas, interpret=interpret
+    )
     if not use_pallas:
         ny_blk = -(-ny // n_shard)
     ny_padded = ny_blk * n_shard
@@ -98,12 +119,15 @@ def sharded_backplanes(body, mesh=None) -> dict[str, Any]:
         out_specs=P(axis, None),
     ))
 
-    out = fn(
+    args = (
         np.asarray(body._get_xy2angular_matrix()),
         np.asarray(body.get_disc_params(), dtype=np.float64),
         np.asarray(body.radii, dtype=np.float64),
         anchors,
     )
+    if trace_only:
+        return dict(fn.eval_shape(*args))
+    out = fn(*args)
     if ny_padded != ny or nx_b != nx:
         out = {k: v[:ny, :nx] for k, v in out.items()}
     return out

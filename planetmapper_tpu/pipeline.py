@@ -1415,7 +1415,8 @@ def _robust_geodetic(body) -> bool:
 
 def select_pipeline_impl(body, nx_b: int, ny_b: int,
                          use_pallas: bool | None = None,
-                         planes: tuple[str, ...] | None = None):
+                         planes: tuple[str, ...] | None = None,
+                         interpret: bool = False):
     """
     Build the per-pixel pipeline impl for a body at a bucketed shape:
     ``(impl, use_pallas)`` where ``impl(nx, ny, xy2angular, disc, radii,
@@ -1450,6 +1451,7 @@ def select_pipeline_impl(body, nx_b: int, ny_b: int,
                 os.environ.get('PLANETMAPPER_TPU_LT_ITERS', '2')
             ),
             planes=planes,
+            interpret=interpret,
         )
     else:
         impl = fused_backplanes_fn(

@@ -40,8 +40,12 @@ def compare_fits_to_reference(
 ):
     """
     HDU-by-HDU comparison mirroring the reference test's
-    ``compare_fits_to_reference`` (test_observation.py:1203-1260), with
-    WIREFRAME skipped (matplotlib raster, environment sensitive).
+    ``compare_fits_to_reference`` (test_observation.py:1203-1260),
+    including the WIREFRAME HDU at the reference's loose ``atol=64``
+    (reference test_observation.py:1252-1257: a matplotlib raster, so
+    environment/font sensitive - but the geometry must land on the
+    same pixels; the repo's renderer reproduces the committed rasters
+    to ~1 grey level).
 
     Tolerance notes: atol=1e-6 + rtol=1e-5 are the reference's own values
     (its test_observation.py:1203-1260). The independent SGP4 + TEME
@@ -53,8 +57,8 @@ def compare_fits_to_reference(
     """
     path_ref = os.path.join(OUTPUTS, reference_name)
     with fits.open(path) as hdul, fits.open(path_ref) as hdul_ref:
-        hdul_ref = [h for h in hdul_ref if h.name != 'WIREFRAME']
-        hdul = [h for h in hdul if h.name != 'WIREFRAME']
+        hdul_ref = list(hdul_ref)
+        hdul = list(hdul)
         assert len(hdul) == len(hdul_ref), (
             f'{len(hdul)} HDUs vs reference {len(hdul_ref)}'
         )
@@ -99,8 +103,12 @@ def compare_fits_to_reference(
                 # poles; projection implementations return arbitrary values
                 diff = np.where(np.abs(np.abs(lat_ref) - 90) < 1e-9,
                                 np.nan, diff)
+            atol_hdu, rtol_hdu = (
+                (64.0, 0.0) if hdu.name == 'WIREFRAME' else (atol, rtol)
+            )
             ok = np.all(
-                np.isnan(diff) | (diff <= atol + rtol * np.abs(data_ref))
+                np.isnan(diff)
+                | (diff <= atol_hdu + rtol_hdu * np.abs(data_ref))
             )
             assert ok, (
                 f'{hdu.name}: max abs diff {np.nanmax(diff)}'
@@ -250,7 +258,9 @@ class TestNavRegression:
         path = str(tmp_path / 'test_nav_alt.fits')
         observation.save_observation(
             path, print_info=False, alt=34567.8912,
-            wireframe_kwargs=dict(output_size=20, dpi=20),
+            # output_size=19: the reference generated this file with 19
+            # (its test_observation.py:1061)
+            wireframe_kwargs=dict(output_size=19, dpi=20),
         )
         compare_fits_to_reference(path, 'test_nav_alt.fits')
 
@@ -263,7 +273,8 @@ class TestNavRegression:
                 '<some other backplane>',
             ],
             backplanes_to_skip=['DEC', 'dISTANCE   ', 'LIMB-DISTANCE'],
-            wireframe_kwargs=dict(output_size=20, dpi=20),
+            # default wireframe size: the reference generated this file
+            # with the 1500px default (its test_observation.py:1065-1080)
         )
         compare_fits_to_reference(path, 'test_nav_custom_backplanes.fits')
 

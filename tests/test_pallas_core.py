@@ -149,6 +149,113 @@ class TestPlaneSubsets:
                 )
 
 
+class TestTileGateInterpret:
+    """
+    The optimize_speed tile gate (skip fully-off-disc tiles at run
+    time) on a multi-tile frame with an off-centre disc, in interpret
+    mode so it runs without hardware. Gated output must equal the
+    ungated (optimize_speed=False) kernel: a pixel with a surface
+    intercept always lies inside the r_cut circle, so the per-pixel
+    and per-tile masks remove the same pixels (bit-exact in practice).
+    """
+
+    # a subset keeps interpret-mode tracing tractable while covering
+    # every gate-relevant path: EMISSION (disc chain), RING-RADIUS
+    # (dist_ref occlusion through off_tile), RA (ungated section)
+    PLANES = ('EMISSION', 'RING-RADIUS', 'RA')
+
+    def _run(self, body, nx, ny, optimize_speed):
+        import jax
+
+        from planetmapper_tpu.ops.pallas_pipeline import (
+            build_pallas_pipeline,
+        )
+
+        impl = build_pallas_pipeline(
+            positive_west=body.positive_longitude_direction == 'W',
+            prograde=body.prograde,
+            have_sun=body._engine._pos_s is not None,
+            optimize_speed=optimize_speed,
+            lst_quant=True,
+            planes=self.PLANES,
+            interpret=True,
+        )
+        out = jax.jit(lambda *a: impl(nx, ny, *a))(
+            np.asarray(body._get_xy2angular_matrix()),
+            np.asarray(body.get_disc_params(), dtype=np.float64),
+            np.asarray(body.radii, dtype=np.float64),
+            body._get_pipeline_anchors(),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def test_gated_matches_ungated_multi_tile(self):
+        from planetmapper_tpu import BodyXY
+
+        # 2 row-bands x 2 col-tiles; disc confined to the top-left
+        # tile so three tiles take the run-time off_tile branch
+        # (NaN fill + dist_ref=inf for ring occlusion).
+        nx, ny = 256, 128
+        body = BodyXY(
+            'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00',
+            nx=nx, ny=ny,
+        )
+        body.set_disc_params(40.0, 28.0, 20.0, 12.3)
+        gated = self._run(body, nx, ny, True)
+        ungated = self._run(body, nx, ny, False)
+        assert set(gated) == set(ungated)
+        # the off-disc region must actually be NaN in a disc plane
+        assert np.isnan(gated['EMISSION'][:, 128:]).all()
+        assert np.isfinite(gated['EMISSION'][:64, :128]).any()
+        for name in gated:
+            np.testing.assert_array_equal(
+                gated[name], ungated[name], err_msg=name
+            )
+
+    def test_nan_disc_params_degrade_gracefully(self):
+        from planetmapper_tpu import BodyXY
+
+        # NaN disc centre: the tile gate must not skip (NaN compares
+        # False on the proven-miss test), so geometry-independent
+        # planes (RA/DEC etc.) still fill like the ungated kernel.
+        nx, ny = 256, 128
+        body = BodyXY(
+            'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00',
+            nx=nx, ny=ny,
+        )
+        body.set_disc_params(40.0, 28.0, 20.0, 12.3)
+        disc = np.array(body.get_disc_params(), dtype=np.float64)
+        disc[0] = np.nan
+
+        import jax
+
+        from planetmapper_tpu.ops.pallas_pipeline import (
+            build_pallas_pipeline,
+        )
+
+        outs = {}
+        for speed in (True, False):
+            impl = build_pallas_pipeline(
+                positive_west=body.positive_longitude_direction == 'W',
+                prograde=body.prograde,
+                have_sun=body._engine._pos_s is not None,
+                optimize_speed=speed,
+                lst_quant=True,
+                planes=self.PLANES,
+                interpret=True,
+            )
+            out = jax.jit(lambda *a, _i=impl: _i(nx, ny, *a))(
+                np.asarray(body._get_xy2angular_matrix()),
+                disc,
+                np.asarray(body.radii, dtype=np.float64),
+                body._get_pipeline_anchors(),
+            )
+            outs[speed] = {k: np.asarray(v) for k, v in out.items()}
+        for name in outs[True]:
+            np.testing.assert_array_equal(
+                outs[True][name], outs[False][name], err_msg=name
+            )
+
+
 @requires_tpu
 class TestDskOnTpu:
     """EFT arithmetic grade inside a real Mosaic kernel."""

@@ -444,6 +444,39 @@ class TestWireframeContract:
         assert len(ax.lines) > 0
         plt.close('all')
 
+    def test_formatting_dict_materialises_on_read(self):
+        # Regression: the lazy defaults dict only filled via
+        # __missing__, so .get()/.keys() readers (including
+        # _get_wireframe_kw itself) saw an EMPTY dict on fresh
+        # sessions - dropping all styling and, critically, the
+        # per-plot coordinate transform (wireframes rendered in the
+        # wrong coordinate system; the FITS WIREFRAME HDU was wrong).
+        from planetmapper_tpu.body import _LazyFormattingDict
+
+        d = _LazyFormattingDict()
+        assert d.get('grid', {}).get('linestyle') == ':'
+        d2 = _LazyFormattingDict()
+        assert 'limb' in d2.keys()
+        d3 = _LazyFormattingDict()
+        assert 'terminator' in d3
+        # user customisations made before first read survive
+        d4 = _LazyFormattingDict()
+        dict.__setitem__(d4, 'grid', {'color': 'r'})
+        assert d4.get('grid') == {'color': 'r'}
+        assert d4.get('limb', {}).get('linewidth') == 0.5
+
+    def test_xy_wireframe_artists_carry_transform(self, observation):
+        # Regression companion: the xy wireframe's artists must use the
+        # angular->xy affine (composed with transData), not raw
+        # transData - their DATA are angular coordinates.
+        import matplotlib.pyplot as plt
+
+        ax = observation.plot_wireframe_xy(show=False)
+        assert all(
+            ln.get_transform() is not ax.transData for ln in ax.lines
+        )
+        plt.close('all')
+
 
 class TestAPIContract:
     """_get_default_init_kwargs must match the actual signatures."""
