@@ -92,7 +92,22 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
         body.adjust_disc_params(dx=0.25)
     compile_time = time.time() - t_compile0
 
+    # Cold sessions serve the first calls from the XLA graph while the
+    # Mosaic kernel compiles in the background (progressive cold start);
+    # the timed loops below measure STEADY-STATE throughput, so block
+    # until the kernel serves and report how long that took separately.
+    from planetmapper_tpu.pipeline import wait_for_steady_state
+
+    t_steady0 = time.time()
+    wait_for_steady_state(body)
+    steady_wait = time.time() - t_steady0
+
     from planetmapper_tpu.pipeline import compute_backplanes as _cb
+
+    # one warm call through the (possibly just-swapped) steady kernel
+    body.adjust_disc_params(dx=0.1)
+    out, cs = _cb(body, as_numpy=False, with_checksum=True)
+    float(cs)
 
     # Blocked: one synchronous call per timing. Completion is proven by
     # fetching the checksum scalar the fused program computes from
@@ -129,6 +144,7 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
         'n_backplanes': len(out),
         'setup_s': round(setup_time, 3),
         'warmup_s': round(compile_time, 3),
+        'steady_kernel_extra_s': round(steady_wait, 3),
     }
 
 
@@ -168,22 +184,32 @@ def bench_map(n_runs: int) -> dict:
         out[f'map_{name}_ms_per_frame'] = round(
             (time.time() - t0) / n_stream * 1e3, 3
         )
-        # single fully-synchronous numpy-returning call (pays one
-        # device->host fetch of the f32 map through the transport)
+        # fully-synchronous numpy-returning call (pays one device->host
+        # fetch of the f32 map through the transport); min-of-3 to match
+        # the transport-floor methodology
         img = rng.normal(size=(size, size))
-        t0 = time.time()
-        body.map_img(img, interpolation=interp, as_numpy=True, **map_kwargs)
-        out[f'map_{name}_sync_ms'] = round((time.time() - t0) * 1e3, 3)
+        t_sync = []
+        for i in range(3):
+            t0 = time.time()
+            body.map_img(img * (1.0 + 1e-6 * i), interpolation=interp,
+                         as_numpy=True, **map_kwargs)
+            t_sync.append(time.time() - t0)
+        out[f'map_{name}_sync_ms'] = round(min(t_sync) * 1e3, 3)
 
     # reduced-precision synchronous fetch: f16 halves the D2H bytes, the
-    # dominant term of a synchronous map call on remote transports
+    # dominant term of a synchronous map call on remote transports.
+    # min-of-3 like the transport floor: single samples through the
+    # shared tunnel are noisy enough to mask the 2x byte saving.
     img = rng.normal(size=(size, size))
     body.map_img(img, interpolation='linear', as_numpy=True,
                  fetch_dtype=np.float16, **map_kwargs)  # warm
-    t0 = time.time()
-    body.map_img(img * 1.000001, interpolation='linear', as_numpy=True,
-                 fetch_dtype=np.float16, **map_kwargs)
-    out['map_linear_sync_f16_ms'] = round((time.time() - t0) * 1e3, 3)
+    t_f16 = []
+    for i in range(3):
+        t0 = time.time()
+        body.map_img(img * (1.0 + 1e-6 * (i + 1)), interpolation='linear',
+                     as_numpy=True, fetch_dtype=np.float16, **map_kwargs)
+        t_f16.append(time.time() - t0)
+    out['map_linear_sync_f16_ms'] = round(min(t_f16) * 1e3, 3)
 
     # 'smooth' (monotone PCHIP) mode, also fully device-resident
     img = rng.normal(size=(size, size))
@@ -198,12 +224,51 @@ def bench_map(n_runs: int) -> dict:
         (time.time() - t0) / n_stream * 1e3, 3
     )
 
+    # Large-source reprojection: a 1024^2 navigated observation through
+    # the same 720x1440 map. The windowed Mosaic evaluator (per-tile
+    # coefficient windows) keeps kernel speed past the plain kernel's
+    # VMEM cap - this entry guards the size cliff (must stay within ~2x
+    # of the 150^2 per-frame cost; device-resident cube so the 4 MB/
+    # frame host->device upload of large frames doesn't mask the
+    # kernel).
+    import jax.numpy as jnp
+
+    size_l = 1024
+    body_l = BodyXY(
+        'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00', sz=size_l
+    )
+    body_l.set_disc_params(size_l / 2, size_l / 2, size_l * 0.4, 12.3)
+    body_l.get_x_map(**map_kwargs)
+    body_l.get_y_map(**map_kwargs)
+    n_cube_l = 8
+    cube_l = jnp.asarray(
+        rng.normal(size=(n_cube_l, size_l, size_l)), jnp.float32
+    )
+    m = body_l.map_img(cube_l, interpolation='linear', as_numpy=False,
+                       **map_kwargs)
+    sync_l = _make_sync(m)
+    sync_l(m)  # warm
+    m = body_l.map_img(cube_l * 1.000001, interpolation='linear',
+                       as_numpy=False, **map_kwargs)
+    sync_l(m)  # second warm: the scale mul compiles lazily
+    t_l = []
+    for i in range(3):
+        t0 = time.time()
+        m = body_l.map_img(cube_l * (1.0 + 1e-6 * i),
+                           interpolation='linear', as_numpy=False,
+                           **map_kwargs)
+        sync_l(m)
+        t_l.append(time.time() - t0)
+    out['map_linear_1024_cube_device_ms_per_frame'] = round(
+        min(t_l) / n_cube_l * 1e3, 3
+    )
+
     # throughput mode: a cube maps all frames in ONE batched device
     # program, and ``as_numpy=False`` leaves the result on device - this
     # measures the reprojection itself.
     n_cube = 16
     cube = rng.normal(size=(n_cube, size, size))
-    for interp in ('cubic', 'smooth'):
+    for interp in ('linear', 'cubic', 'smooth'):
         m = body.map_img(cube, interpolation=interp, as_numpy=False,
                          **map_kwargs)
         cube_sync = _make_sync(m)

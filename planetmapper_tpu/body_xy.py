@@ -690,10 +690,14 @@ class BodyXY(Body):
         and cubes; the no-device fallback always returns numpy.
 
         ``fetch_dtype`` (device paths only): cast the result on device
-        before it is fetched/returned - e.g. ``np.float16`` halves the
-        device->host transfer of a synchronous ``as_numpy=True`` call,
-        which dominates its latency on remote-TPU transports, at ~1e-3
-        relative precision (display/preview grade).
+        before it is fetched/returned - ``np.float16`` halves the
+        device->host bytes of a synchronous ``as_numpy=True`` call,
+        which dominate its latency on remote-TPU transports, at ~1e-3
+        relative precision (display/preview grade). Measured on the
+        benchmark tunnel (min-of-3, 720x1440 map): ~70 ms f16 vs
+        ~100 ms f32 against a ~60 ms f16 transport floor - single
+        samples through a shared tunnel are noisy, so one-shot timings
+        can mask the saving (bench.py measures both).
         """
         use_device = os.environ.get(
             'PLANETMAPPER_TPU_MAP_DEVICE', 'on'

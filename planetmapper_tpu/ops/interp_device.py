@@ -67,6 +67,51 @@ def _staged_channels(x_map, y_map, ty, tx, kx: int, ky: int,
     return by, bx, aux
 
 
+#: windowed-staging cache: per (map coordinates, spline config, source
+#: shape) either the staged tuple + plan, or None when no window side
+#: fits (the map stays on the XLA tiled path). One host sync per config
+#: to read the fits flag; frames reuse the cached channels.
+_WINDOWED_CACHE: dict[tuple, tuple | None] = {}
+_WINDOWED_CACHE_MAX = 8
+
+
+def _staged_windowed(x_map, y_map, ty, tx, kx: int, ky: int,
+                     propagate_nan: bool, n_cy: int, n_cx: int,
+                     ny_i: int, nx_i: int, knots_key):
+    """
+    Staged channels + plan for the windowed Mosaic map evaluator, or
+    None when no candidate window covers every tile's footprint.
+    """
+    key = (
+        x_map.ctypes.data, y_map.ctypes.data, x_map.shape, y_map.shape,
+        knots_key, kx, ky, propagate_nan, 'windowed',
+    )
+    if key in _WINDOWED_CACHE:
+        hit = _WINDOWED_CACHE[key]
+        return None if hit is None else hit[:6]
+    from .map_pallas import _WIN_SIDES, WindowPlan, stage_windowed
+
+    my, mx = x_map.shape
+    x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
+    entry = None
+    for win in _WIN_SIDES:
+        plan = WindowPlan(
+            kx=kx, ky=ky, propagate_nan=propagate_nan, win=win,
+            tile_h=32, tile_w=64, my=my, mx=mx,
+            n_cy=n_cy, n_cx=n_cx, ny_i=ny_i, nx_i=nx_i,
+        )
+        by, bx, aux, oyx, onyx, fits = stage_windowed(
+            plan, ty, tx, y_dev, x_dev, valid_dev
+        )
+        if bool(fits):  # one host sync per (map, spline, window) config
+            entry = (by, bx, aux, oyx, onyx, plan, x_map, y_map)
+            break
+    if len(_WINDOWED_CACHE) >= _WINDOWED_CACHE_MAX:
+        _WINDOWED_CACHE.pop(next(iter(_WINDOWED_CACHE)))
+    _WINDOWED_CACHE[key] = entry
+    return None if entry is None else entry[:6]
+
+
 def _device_xy(x_map: np.ndarray, y_map: np.ndarray):
     """
     Device-resident ``(x, y, valid)`` for the map sample coordinates.
@@ -560,28 +605,46 @@ def _infill_device(jnp, frame):
     neighbourhood nanmean; remaining non-finite cells take the global
     nanmedian (0 if the frame has no finite cells). Returns ``(cleaned,
     nan_grid)``.
+
+    Fully-finite frames (the common streaming case) skip the whole
+    preparation at run time via ``lax.cond`` - the nanmedian is a sort
+    of the full frame (~5 ms for a 1024-class frame on v5e, dwarfing
+    the spline solve itself). NOTE: only effective outside ``vmap``
+    (which lowers cond to select, executing both branches); batched
+    callers map frames with ``lax.map``.
     """
-    finite = jnp.isfinite(frame)
-    imgn = jnp.where(finite, frame, jnp.nan)
-    med = jnp.where(jnp.any(finite), jnp.nanmedian(imgn), 0.0)
-    z = jnp.where(finite, frame, 0.0)
-    g = finite.astype(frame.dtype)
-    zp = jnp.pad(z, 1)
-    gp = jnp.pad(g, 1)
-    ny, nx = frame.shape
-    s = jnp.zeros_like(frame)
-    cnt = jnp.zeros_like(frame)
-    for dy in range(3):
-        for dx in range(3):
-            s = s + zp[dy : dy + ny, dx : dx + nx]
-            cnt = cnt + gp[dy : dy + ny, dx : dx + nx]
-    nb_mean = s / jnp.where(cnt > 0, cnt, 1.0)
-    cleaned = jnp.where(
-        finite, frame, jnp.where(cnt > 0, nb_mean, med)
+    from jax import lax
+
+    def passthrough(_):
+        return frame, jnp.zeros(frame.shape, bool)
+
+    def clean(_):
+        finite = jnp.isfinite(frame)
+        imgn = jnp.where(finite, frame, jnp.nan)
+        med = jnp.where(jnp.any(finite), jnp.nanmedian(imgn), 0.0)
+        z = jnp.where(finite, frame, 0.0)
+        g = finite.astype(frame.dtype)
+        zp = jnp.pad(z, 1)
+        gp = jnp.pad(g, 1)
+        ny, nx = frame.shape
+        s = jnp.zeros_like(frame)
+        cnt = jnp.zeros_like(frame)
+        for dy in range(3):
+            for dx in range(3):
+                s = s + zp[dy : dy + ny, dx : dx + nx]
+                cnt = cnt + gp[dy : dy + ny, dx : dx + nx]
+        nb_mean = s / jnp.where(cnt > 0, cnt, 1.0)
+        cleaned = jnp.where(
+            finite, frame, jnp.where(cnt > 0, nb_mean, med)
+        )
+        # Propagation mask is the *NaN* grid (reference body_xy.py:1668
+        # uses np.isnan, so infs are infilled for the solve but not
+        # propagated)
+        return cleaned, jnp.isnan(frame)
+
+    return lax.cond(
+        jnp.all(jnp.isfinite(frame)), passthrough, clean, None
     )
-    # Propagation mask is the *NaN* grid (reference body_xy.py:1668 uses
-    # np.isnan, so infs are infilled for the solve but not propagated)
-    return cleaned, jnp.isnan(frame)
 
 
 @functools.lru_cache(maxsize=None)
@@ -618,7 +681,8 @@ def _grid_spline_solver(ny: int, nx: int, kx: int, ky: int):
 def _spline_solve_eval_fn(kx: int, ky: int, batched: bool,
                           propagate_nan: bool,
                           out_shape: tuple | None = None,
-                          use_pallas: bool = False):
+                          use_pallas: bool = False,
+                          window_plan=None):
     """
     Jitted end-to-end map-reprojection program: NaN infill, collocation
     solve (two small matmuls against the staged inverses) and the
@@ -632,7 +696,14 @@ def _spline_solve_eval_fn(kx: int, ky: int, batched: bool,
     import jax.numpy as jnp
     from jax import lax
 
-    if use_pallas:
+    if window_plan is not None:
+        # Windowed Mosaic variant (large sources): per-tile coefficient
+        # and NaN windows gathered per frame, kernel VMEM bounded by
+        # the window side instead of the source size.
+        from .map_pallas import make_pallas_eval_windowed
+
+        eval_windowed = make_pallas_eval_windowed(window_plan, batched)
+    elif use_pallas:
         # Staged-channel variant: the jitted program takes the cached
         # basis/index channels instead of raw sample coordinates, so
         # the per-frame work is infill + collocation solve + the Pallas
@@ -662,9 +733,16 @@ def _spline_solve_eval_fn(kx: int, ky: int, batched: bool,
             )
             return c2.astype(jnp.float32), nans.astype(jnp.float32)
 
-        return jax.vmap(prep)(frames) if batched else prep(frames)
+        # lax.map, not vmap: keeps _infill_device's NaN-free fast path
+        # a real branch (vmap lowers cond to select - both sides run,
+        # including the full-frame nanmedian sort)
+        return lax.map(prep, frames) if batched else prep(frames)
 
-    if use_pallas:
+    if window_plan is not None:
+        def fn(ainv_y, ainv_x, frames, by, bx, aux, oyx, onyx):
+            c2, nanf = _solve(ainv_y, ainv_x, frames)
+            return eval_windowed(c2, nanf, by, bx, aux, oyx, onyx)
+    elif use_pallas:
         def fn(ainv_y, ainv_x, frames, by, bx, aux):
             c2, nanf = _solve(ainv_y, ainv_x, frames)
             return eval_staged(c2, nanf, by, bx, aux)
@@ -787,7 +865,10 @@ def spline_interpolation_device(
                         'Warning, image contains NaN values which will '
                         'be corrected'
                     )
-        from .map_pallas import pallas_map_supported
+        from .map_pallas import (
+            pallas_map_supported,
+            pallas_map_windowed_candidate,
+        )
 
         # s=0 interpolation: one coefficient per data point per axis
         use_pallas = (
@@ -800,15 +881,34 @@ def spline_interpolation_device(
         # CPU keeps f64 end-to-end.
         cpu = jax.default_backend() == 'cpu'
         ty, tx, ainv_y, ainv_x = _grid_spline_solver(ny_i, nx_i, kx, ky)
+        staged_win = None
+        if (
+            not use_pallas
+            and x_map.ndim == 2
+            and pallas_map_windowed_candidate(kx, ky)
+        ):
+            # Sources past the plain kernel's VMEM cap: try the
+            # windowed kernel (per-tile coefficient windows); unfit
+            # maps (footprints wider than every window side) stay on
+            # the XLA tiled path.
+            staged_win = _staged_windowed(
+                x_map, y_map, ty, tx, kx, ky, propagate_nan,
+                ny_i, nx_i, ny_i, nx_i,
+                knots_key=('s0-grid', ny_i, nx_i, kx, ky),
+            )
         fn = _spline_solve_eval_fn(
             kx, ky, cube, propagate_nan,
             tuple(x_map.shape) if x_map.ndim == 2 else None,
             use_pallas=use_pallas,
+            window_plan=None if staged_win is None else staged_win[5],
         )
         frames_dev = jnp.asarray(
             img, dtype=jnp.float64 if cpu else jnp.float32
         )
-        if use_pallas:
+        if staged_win is not None:
+            by, bx, aux, oyx, onyx, _plan = staged_win
+            vals = fn(ainv_y, ainv_x, frames_dev, by, bx, aux, oyx, onyx)
+        elif use_pallas:
             by, bx, aux = _staged_channels(
                 x_map, y_map, ty, tx, kx, ky, propagate_nan,
                 ny_i, nx_i, knots_key=('s0-grid', ny_i, nx_i, kx, ky),

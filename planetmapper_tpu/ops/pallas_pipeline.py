@@ -222,18 +222,41 @@ def _mod360_ds(x):
     return x
 
 
-def _bowring_lat(px, py, pz, rho, re32, omf32, e2_32, ep2_32):
-    """One Bowring step from the reduced latitude (f32, trig-free)."""
+def _bowring_lat(px, py, pz, rho, re32, omf32, e2_32, ep2_32,
+                 iters: int = 0):
+    """
+    Bowring geodetic latitude from the reduced latitude (f32,
+    trig-free). ``iters=0`` is the classic one-shot form, exact for
+    points ON the (re, rp) spheroid - the biaxial kernel's case.
+
+    ``iters`` refinement steps extend it to OFF-spheroid points:
+    triaxial bodies' surface points sit up to (re - rm) inside the
+    biaxial geodetic spheroid (CSPICE recpgr converts against (re, f)
+    regardless of triaxiality - reference body.py:1030 passes r_eq +
+    flattening). The iteration converges for any point outside the
+    meridian ellipse's evolute; 4 steps reach f32 noise (~3e-5 deg)
+    even for Haumea-class f=0.49 shapes with points ~210 km deep
+    (measured; see tests). Eligibility is gated host-side on the
+    evolute condition rm/re > e2 (pipeline._kernel_geodetic_iters).
+    """
     from jax import lax
 
     w = rho * omf32
     rb = lax.rsqrt(pz * pz + w * w)
     sin_b = pz * rb
     cos_b = w * rb
-    return dsk.atan2(
-        pz + ep2_32 * (re32 * omf32) * sin_b * sin_b * sin_b,
-        rho - e2_32 * re32 * cos_b * cos_b * cos_b,
-    )
+    num = pz + ep2_32 * (re32 * omf32) * sin_b * sin_b * sin_b
+    den = rho - e2_32 * re32 * cos_b * cos_b * cos_b
+    for _ in range(iters):
+        rr = lax.rsqrt(num * num + den * den)
+        sl = num * rr
+        cl = den * rr
+        rb2 = lax.rsqrt(omf32 * omf32 * sl * sl + cl * cl)
+        sin_b = omf32 * sl * rb2
+        cos_b = cl * rb2
+        num = pz + ep2_32 * (re32 * omf32) * sin_b * sin_b * sin_b
+        den = rho - e2_32 * re32 * cos_b * cos_b * cos_b
+    return dsk.atan2(num, den)
 
 
 def build_pallas_pipeline(
@@ -248,6 +271,7 @@ def build_pallas_pipeline(
     col_tile: int = 128,
     planes: tuple[str, ...] | None = None,
     interpret: bool = False,
+    geodetic_iters: int = 0,
 ):
     """
     Build ``impl(nx, ny, xy2angular, disc, radii, anchors) -> dict`` with
@@ -666,7 +690,8 @@ def build_pallas_pipeline(
                     )
                 if 'LAT-GRAPHIC' in P:
                     lat_gd = _bowring_lat(
-                        px32, py32, pz32, rho32, re32, omf32, e2_32, ep2_32
+                        px32, py32, pz32, rho32, re32, omf32, e2_32,
+                        ep2_32, iters=geodetic_iters,
                     )
                     out_ref[P['LAT-GRAPHIC']] = jnp.where(
                         found, lat_gd * inv_deg, nanv
@@ -1004,7 +1029,8 @@ def build_pallas_pipeline(
                 if 'LIMB-LAT-GRAPHIC' in P:
                     lrho = jnp.sqrt(lx * lx + ly * ly)
                     limb_lat = _bowring_lat(
-                        lx, ly, lz, lrho, re32, omf32, e2_32, ep2_32
+                        lx, ly, lz, lrho, re32, omf32, e2_32, ep2_32,
+                        iters=geodetic_iters,
                     )
                     out_ref[P['LIMB-LAT-GRAPHIC']] = limb_lat * inv_deg
                 if 'LIMB-DISTANCE' in P:

@@ -155,6 +155,34 @@ def compute_scene_anchors(body) -> dict[str, np.ndarray]:
     return anchors
 
 
+def _anchor_abstract_spec():
+    """
+    ShapeDtypeStruct tree matching :func:`compute_scene_anchors`'s
+    output exactly (keys, shapes, dtypes). Lets the fused pipeline be
+    AOT-compiled before any anchor VALUES exist, overlapping the
+    pipeline compile with the scene-anchor computation on cold start.
+    Pinned against the real tree by a unit test; drift is safe (the
+    AOT call raises and the jit path re-traces) but wastes the warmup.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    s = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float64)
+    return dict(
+        et=s(), tau0=s(),
+        rot0=s(3, 3), rot1=s(3, 3), rot2=s(3, 3),
+        targ_pos0=s(3), targ_vel0=s(3),
+        obs_pos=s(3), obs_vel=s(3),
+        sun_pos0=s(3), sun_vel0=s(3), sun_epoch0=s(),
+        target_lt=s(), target_obsvec=s(3),
+        subpoint_targvec=s(3), subpoint_rayvec=s(3),
+        subpoint_obsvec=s(3), subpoint_distance=s(),
+        ring_plane_normal=s(3), ring_plane_constant=s(),
+        solar_lon_e=s(),
+        obsvec2angular=s(3, 3), angular2km=s(2, 2),
+    )
+
+
 def _rot_at(anchors, dtau):
     """Frame rotation J2000->body-fixed at tau0 + dtau (2nd order Taylor)."""
     return (
@@ -1413,6 +1441,32 @@ def _robust_geodetic(body) -> bool:
     return bool(abs(radii_host[0] - radii_host[1]) > 1e-9 * radii_host[0])
 
 
+def _kernel_geodetic_iters(body) -> int | None:
+    """
+    Bowring iteration count for the Mosaic kernel's geodetic
+    conversions, or None when the kernel cannot hold the error budget.
+
+    - biaxial bodies: 0 (surface points lie ON the (re, rp) spheroid;
+      the one-shot Bowring form is exact there).
+    - triaxial bodies: 4 iterations, valid whenever every surface point
+      stays outside the meridian ellipse's evolute - guaranteed by
+      rm/re > e2 (the evolute's equatorial reach is re*e2; the deepest
+      surface points sit at radius rm on the middle axis). Every known
+      solar-system body passes (even Haumea: rm/re ~ 0.8 vs e2 ~ 0.74);
+      4 f32 steps land ~3e-5 deg from the exact nearest-point solve
+      (measured; see ops/pallas_pipeline._bowring_lat).
+    - pathological shapes inside the margin keep the exact XLA path.
+    """
+    radii_host = np.asarray(body.radii, dtype=float)
+    re, rm, rp = radii_host
+    if abs(re - rm) <= 1e-9 * re:
+        return 0
+    e2 = 1.0 - (rp / re) ** 2
+    if rm / re > e2 + 0.02:
+        return 4
+    return None
+
+
 def select_pipeline_impl(body, nx_b: int, ny_b: int,
                          use_pallas: bool | None = None,
                          planes: tuple[str, ...] | None = None,
@@ -1432,9 +1486,10 @@ def select_pipeline_impl(body, nx_b: int, ny_b: int,
     """
     precision = getattr(body, '_pipeline_precision', DEFAULT_PRECISION)
     robust_geodetic = _robust_geodetic(body)
+    geodetic_iters = _kernel_geodetic_iters(body)
     if use_pallas is None:
         use_pallas = False
-        if precision == 'mixed' and not robust_geodetic:
+        if precision == 'mixed' and geodetic_iters is not None:
             from .ops.pallas_pipeline import pallas_pipeline_supported
 
             use_pallas = pallas_pipeline_supported(nx_b, ny_b)
@@ -1452,6 +1507,7 @@ def select_pipeline_impl(body, nx_b: int, ny_b: int,
             ),
             planes=planes,
             interpret=interpret,
+            geodetic_iters=geodetic_iters or 0,
         )
     else:
         impl = fused_backplanes_fn(
@@ -1494,9 +1550,14 @@ def get_fused_pipeline(body, nx: int, ny: int,
     # the band-mapped XLA graph on TPU backends for the shapes it tiles
     # (2.3x: one Mosaic kernel instead of ~230 fusions per band, so
     # intermediates never round-trip HBM). Small grids, 'double'
-    # precision and strongly-triaxial bodies keep the XLA path.
+    # precision, and shapes past the evolute margin of the iterated
+    # geodetic conversion (_kernel_geodetic_iters) keep the XLA path;
+    # ordinary triaxial bodies run the kernel with 4 Bowring steps.
     use_pallas = False
-    if precision == 'mixed' and not robust_geodetic:
+    if (
+        precision == 'mixed'
+        and _kernel_geodetic_iters(body) is not None
+    ):
         from .ops.pallas_pipeline import pallas_pipeline_supported
 
         ny_p = _bucket_size(ny)
@@ -1525,6 +1586,26 @@ def get_fused_pipeline(body, nx: int, ny: int,
         impl, _ = select_pipeline_impl(
             body, nx_b, ny_b, use_pallas=use_pallas, planes=planes
         )
+        # Progressive cold start (TPU): the Mosaic kernel is the fast
+        # steady-state program, but the FIRST Pallas execution of a
+        # process also initialises the TPU kernel toolchain (~60-120 s
+        # on remote-compile transports - measured; plain XLA programs
+        # don't pay this). So the first call(s) are served by the
+        # AOT-compiled XLA graph (identical values to ~1e-6, ~3x
+        # slower); the Mosaic kernel compiles AND warm-executes on a
+        # background thread started only AFTER the first call is served
+        # (the remote compile service serializes requests - submitting
+        # the kernel build first would queue ahead of the critical-path
+        # XLA compile and roughly double time-to-first-result;
+        # measured). ``fn.wait_steady()`` blocks until the swap.
+        progressive = use_pallas and os.environ.get(
+            'PLANETMAPPER_TPU_PROGRESSIVE', '1'
+        ) != '0'
+        impl_first = impl
+        if progressive:
+            impl_first, _ = select_pipeline_impl(
+                body, nx_b, ny_b, use_pallas=False, planes=planes
+            )
 
         import jax.numpy as jnp
 
@@ -1554,34 +1635,137 @@ def get_fused_pipeline(body, nx: int, ny: int,
                 return out
             return {k: out[k] for k in planes if k in out}
 
-        if not tiled or use_pallas:
-            def wrapped(xy2angular, disc, radii, anchors):
-                out = keep(
-                    impl(nx_b, ny_b, xy2angular, disc, radii, anchors)
+        def make_wrapped(impl_, pallas_):
+            # Row-band tiling applies to the XLA impl only: the Pallas
+            # impl tiles internally (its own grid)
+            if not tiled or pallas_:
+                def wrapped(xy2angular, disc, radii, anchors):
+                    out = keep(
+                        impl_(nx_b, ny_b, xy2angular, disc, radii, anchors)
+                    )
+                    out['__CHECKSUM__'] = _checksum(out)
+                    return out
+            else:
+                from jax import lax
+
+                n_bands = ny_b // band_rows
+
+                def wrapped(xy2angular, disc, radii, anchors):
+                    def band(i):
+                        row0 = (i * band_rows).astype(jnp.float64)
+                        return keep(impl_(
+                            nx_b, band_rows, xy2angular, disc, radii,
+                            anchors, row0=row0,
+                        ))
+
+                    outs = lax.map(band, jnp.arange(n_bands))
+                    out = {
+                        k: v.reshape(ny_b, nx_b) for k, v in outs.items()
+                    }
+                    out['__CHECKSUM__'] = _checksum(out)
+                    return out
+            return wrapped
+
+        wrapped_steady = make_wrapped(impl, use_pallas)
+        wrapped_first = (
+            make_wrapped(impl_first, False) if progressive
+            else wrapped_steady
+        )
+        jfn = jax.jit(wrapped_first)
+        state: dict[str, Any] = {
+            'compiled': None, 'steady': None, 'thread': None,
+        }
+
+        def _abstract_args():
+            return (
+                jax.ShapeDtypeStruct((3, 3), jnp.float64),
+                jax.ShapeDtypeStruct((4,), jnp.float64),
+                jax.ShapeDtypeStruct((3,), jnp.float64),
+                _anchor_abstract_spec(),
+            )
+
+        def fn(xy2angular, disc, radii, anchors):
+            if isinstance(xy2angular, jax.core.Tracer):
+                # called inside another trace (compute_backplanes_batch's
+                # lax.map): inline the steady-state program directly -
+                # AOT executables can't take tracers
+                return wrapped_steady(xy2angular, disc, radii, anchors)
+            steady = state['steady']
+            if steady is not None:
+                try:
+                    return steady(xy2angular, disc, radii, anchors)
+                except Exception:
+                    state['steady'] = None
+            compiled = state['compiled']
+            if compiled is not None:
+                try:
+                    out = compiled(xy2angular, disc, radii, anchors)
+                except Exception:
+                    # signature drift (e.g. anchor spec change):
+                    # fall back to the re-tracing jit path
+                    state['compiled'] = None
+                else:
+                    _start_steady()
+                    return out
+            out = jfn(xy2angular, disc, radii, anchors)
+            _start_steady()
+            return out
+
+        def _steady_build():  # runs on the background thread
+            try:
+                compiled_m = jax.jit(wrapped_steady).lower(
+                    *_abstract_args()
+                ).compile()
+                # one warm execution + fetch: the first Pallas exec of
+                # the process pays the toolchain init - absorb it HERE,
+                # off the serving path (values discarded)
+                dummy = jax.tree_util.tree_map(
+                    lambda s: np.ones(s.shape, s.dtype),
+                    _abstract_args(),
                 )
-                out['__CHECKSUM__'] = _checksum(out)
-                return out
-        else:
-            from jax import lax
+                out = compiled_m(*dummy)
+                float(np.asarray(out['__CHECKSUM__']))
+                state['steady'] = compiled_m
+            except Exception:
+                pass  # keep serving the first-path program
 
-            n_bands = ny_b // band_rows
+        import threading
 
-            def wrapped(xy2angular, disc, radii, anchors):
-                def band(i):
-                    row0 = (i * band_rows).astype(jnp.float64)
-                    return keep(impl(
-                        nx_b, band_rows, xy2angular, disc, radii, anchors,
-                        row0=row0,
-                    ))
+        start_lock = threading.Lock()
 
-                outs = lax.map(band, jnp.arange(n_bands))
-                out = {
-                    k: v.reshape(ny_b, nx_b) for k, v in outs.items()
-                }
-                out['__CHECKSUM__'] = _checksum(out)
-                return out
+        def _start_steady():
+            # deferred: first submit only the serving path's compile to
+            # the (serializing) remote compile service; the kernel
+            # build queues behind it once results are flowing
+            if not progressive or state['thread'] is not None:
+                return
+            with start_lock:
+                if state['thread'] is not None:
+                    return
+                th = threading.Thread(
+                    target=_steady_build,
+                    name='planetmapper-steady-kernel', daemon=True,
+                )
+                state['thread'] = th
+                th.start()
 
-        fn = jax.jit(wrapped)
+        def precompile():
+            # AOT trace+compile against the static anchor spec - no
+            # anchor VALUES needed, so cold-start callers overlap this
+            # with the scene-anchor computation (compute_backplanes).
+            # The compiled executable then serves all calls (same
+            # program the jit path would build).
+            if state['compiled'] is None:
+                state['compiled'] = jfn.lower(*_abstract_args()).compile()
+
+        def wait_steady(timeout=None):
+            _start_steady()
+            th = state['thread']
+            if th is not None:
+                th.join(timeout)
+
+        fn.precompile = precompile
+        fn.wait_steady = wait_steady
         _PIPELINE_CACHE[key] = fn
 
     if nx_b == nx and ny_b == ny:
@@ -1594,7 +1778,25 @@ def get_fused_pipeline(body, nx: int, ny: int,
             for k, v in out.items()
         }
 
+    sliced.precompile = fn.precompile
+    sliced.wait_steady = fn.wait_steady
     return sliced
+
+
+def wait_for_steady_state(body, timeout: float | None = None) -> None:
+    """
+    Block until the steady-state (Mosaic) kernel serves
+    :func:`compute_backplanes` for this body's configuration. On cold
+    TPU sessions the first calls are served by the XLA graph while the
+    kernel compiles in the background (see :func:`get_fused_pipeline`);
+    benchmarks and bit-exactness tests call this to pin the kernel
+    path. No-op on CPU or when the kernel is already serving.
+    """
+    nx, ny = body.get_img_size()
+    fn = get_fused_pipeline(body, nx, ny)
+    waiter = getattr(fn, 'wait_steady', None)
+    if waiter is not None:
+        waiter(timeout)
 
 
 def compute_backplanes_batch(
@@ -1684,16 +1886,44 @@ def compute_backplanes(
     nx, ny = body.get_img_size()
     if nx <= 0 or ny <= 0:
         raise ValueError('nx and ny must be positive to generate backplanes')
-    # Keep the anchors resident on device: re-transferring ~25 host arrays
-    # per call costs more than the compute through a remote-TPU transport
-    anchors = body._stable_cache.get('pipeline anchors (device)')
-    if anchors is None:
-        anchors = jax.device_put(body._get_pipeline_anchors())
-        body._stable_cache['pipeline anchors (device)'] = anchors
     fn = get_fused_pipeline(
         body, nx, ny,
         planes=None if names is None else tuple(names),
     )
+    # Keep the anchors resident on device: re-transferring ~25 host arrays
+    # per call costs more than the compute through a remote-TPU transport
+    anchors = body._stable_cache.get('pipeline anchors (device)')
+    if anchors is None:
+        # Cold start: the scene-anchor programs (host-CPU XLA) and the
+        # fused pipeline's trace+compile are independent, so run them
+        # concurrently - the anchors in a thread (mostly GIL-free XLA
+        # compiles + device execution), the AOT pipeline compile here.
+        import threading
+
+        holder: dict[str, Any] = {}
+
+        def _compute_anchors():
+            try:
+                holder['anchors'] = jax.device_put(
+                    body._get_pipeline_anchors()
+                )
+            except BaseException as exc:  # re-raised on the caller
+                holder['error'] = exc
+
+        th = threading.Thread(
+            target=_compute_anchors, name='planetmapper-anchors',
+            daemon=True,
+        )
+        th.start()
+        try:
+            fn.precompile()
+        except Exception:
+            pass  # jit path compiles at the call below instead
+        th.join()
+        if 'error' in holder:
+            raise holder['error']
+        anchors = holder['anchors']
+        body._stable_cache['pipeline anchors (device)'] = anchors
     out = fn(
         np.asarray(body._get_xy2angular_matrix()),
         np.asarray(body.get_disc_params(), dtype=np.float64),

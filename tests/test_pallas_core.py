@@ -256,6 +256,270 @@ class TestTileGateInterpret:
             )
 
 
+class TestTriaxialKernel:
+    """
+    Triaxial bodies on the Mosaic kernel: the intercept and normals are
+    per-axis already; the geodetic conversions run 4 Bowring refinement
+    steps (surface points sit off the biaxial (re, rp) spheroid -
+    CSPICE recpgr converts against (re, f) regardless, reference
+    body.py:1030). Kernel output must match the XLA robust path (exact
+    nearest-point solve) to the f32 noise floor.
+    """
+
+    def _body(self):
+        from planetmapper_tpu import BodyXY
+
+        # Pan: 17.2 x 15.7 x 10.4 km (pck00010) - strongly triaxial
+        # (f = 0.40, re - rm ~ 1.5 km) and covered by the committed
+        # sat060.bsp test kernel
+        body = BodyXY(
+            'PAN', observer='EARTH', utc='2004-01-01T00:00:00',
+            nx=128, ny=64,
+        )
+        # off pixel centres: the sub-observer pixel's limb direction is
+        # degenerate (ray through the target centre), so both impls
+        # return noise-amplified values there
+        body.set_disc_params(64.3, 32.3, 28.0, 12.3)
+        return body
+
+    def test_selection(self):
+        from planetmapper_tpu.pipeline import (
+            _kernel_geodetic_iters,
+            _robust_geodetic,
+        )
+
+        body = self._body()
+        assert _robust_geodetic(body)
+        assert _kernel_geodetic_iters(body) == 4
+
+    def test_evolute_margin_gate(self):
+        from planetmapper_tpu.pipeline import _kernel_geodetic_iters
+
+        class Fake:
+            def __init__(self, radii):
+                self.radii = np.asarray(radii, float)
+
+        assert _kernel_geodetic_iters(Fake([100, 100, 60])) == 0
+        assert _kernel_geodetic_iters(Fake([100, 95, 60])) == 4
+        # Haumea-class: rm/re = 0.8 > e2 = 0.74 - still kernel-safe
+        assert _kernel_geodetic_iters(Fake([1050, 840, 537])) == 4
+        # pathological: middle axis deep inside the evolute reach
+        assert _kernel_geodetic_iters(Fake([1000, 400, 300])) is None
+
+    def test_kernel_matches_robust_xla(self):
+        import jax
+
+        from planetmapper_tpu.ops.pallas_pipeline import (
+            build_pallas_pipeline,
+        )
+        from planetmapper_tpu.pipeline import select_pipeline_impl
+
+        body = self._body()
+        nx, ny = 128, 64
+        args = (
+            np.asarray(body._get_xy2angular_matrix()),
+            np.asarray(body.get_disc_params(), dtype=np.float64),
+            np.asarray(body.radii, dtype=np.float64),
+            body._get_pipeline_anchors(),
+        )
+        ref_impl, ref_pallas = select_pipeline_impl(
+            body, nx, ny, use_pallas=False
+        )
+        assert not ref_pallas
+        ref = jax.jit(lambda *a: ref_impl(nx, ny, *a))(*args)
+        ref = {k: np.asarray(v) for k, v in ref.items()}
+
+        planes = (
+            'LON-GRAPHIC', 'LAT-GRAPHIC', 'LIMB-LAT-GRAPHIC',
+            'EMISSION',
+        )
+        impl = build_pallas_pipeline(
+            positive_west=body.positive_longitude_direction == 'W',
+            prograde=body.prograde,
+            have_sun=body._engine._pos_s is not None,
+            optimize_speed=bool(body._optimize_speed),
+            lst_quant=True,
+            planes=planes,
+            interpret=True,
+            geodetic_iters=4,
+        )
+        out = jax.jit(lambda *a: impl(nx, ny, *a))(*args)
+        # Pan's 17 km radius makes the kernel's f32/ds noise relatively
+        # larger than on planet-scale targets (light-time correction
+        # terms scale with the 9 AU distance, the surface with 17 km).
+        # 1e-3 deg - the sub-millidegree navigation bar - is 0.3 m on
+        # Pan's surface; hardware measures 4.6e-4 (lon) / 6.4e-4 (limb
+        # lat, whose near-point construction carries the longest ds
+        # chain).
+        tol = {
+            'LAT-GRAPHIC': 6e-4, 'LIMB-LAT-GRAPHIC': 1e-3,
+            'LON-GRAPHIC': 6e-4, 'EMISSION': 1e-3,
+        }
+        for name in planes:
+            a = np.asarray(out[name], dtype=np.float64)
+            b = np.asarray(ref[name], dtype=np.float64)
+            both = np.isfinite(a) & np.isfinite(b)
+            n_mask = int(np.sum(np.isfinite(a) != np.isfinite(b)))
+            assert n_mask <= 8, f'{name}: {n_mask} mask flips'
+            assert both.any(), name
+            d = np.abs(a[both] - b[both])
+            if 'LON' in name:
+                d = np.minimum(d, 360.0 - d)
+            assert d.max() <= tol[name], f'{name}: {d.max():.3e}'
+
+
+class TestWindowedMapEval:
+    """
+    The windowed Mosaic map evaluator (per-tile coefficient windows for
+    sources past the plain kernel's VMEM cap) in interpret mode, against
+    the XLA one-hot evaluator and scipy ground truth. Removes the
+    map-kernel size cliff (reference body_xy.py:1414-1853 map_img has
+    none).
+    """
+
+    def _setup(self, propagate_nan=True):
+        import jax.numpy as jnp
+
+        from planetmapper_tpu.ops import interp_device as idev
+        from planetmapper_tpu.ops.map_pallas import (
+            WindowPlan,
+            stage_windowed,
+        )
+
+        rng = np.random.default_rng(0)
+        ny_i = nx_i = 200  # source bigger than the 128-window
+        my, mx = 96, 192
+        yy, xx = np.meshgrid(
+            np.linspace(5, ny_i - 6, my), np.linspace(5, nx_i - 6, mx),
+            indexing='ij',
+        )
+        x_map = xx + 3 * np.sin(yy / 20.0)
+        y_map = yy + 2 * np.cos(xx / 30.0)
+        x_map[0, :4] = np.nan
+        img = rng.normal(size=(ny_i, nx_i))
+        img[50:53, 60:70] = np.nan
+
+        kx = ky = 3
+        ty, tx, ainv_y, ainv_x = idev._grid_spline_solver(
+            ny_i, nx_i, kx, ky
+        )
+        valid = np.isfinite(x_map) & np.isfinite(y_map)
+        x_dev = jnp.asarray(np.where(valid, x_map, 0.0).ravel())
+        y_dev = jnp.asarray(np.where(valid, y_map, 0.0).ravel())
+        v_dev = jnp.asarray(valid.ravel())
+        plan = WindowPlan(
+            kx=kx, ky=ky, propagate_nan=propagate_nan, win=128,
+            tile_h=32, tile_w=64, my=my, mx=mx,
+            n_cy=ny_i, n_cx=nx_i, ny_i=ny_i, nx_i=nx_i,
+        )
+        staged = stage_windowed(plan, ty, tx, y_dev, x_dev, v_dev)
+        cleaned, nans = idev._infill_device(jnp, jnp.asarray(img))
+        c2 = (ainv_y @ (cleaned @ ainv_x.T)).astype(jnp.float32)
+        nanf = nans.astype(jnp.float32)
+        return (
+            plan, staged, c2, nanf, cleaned,
+            (ty, tx, y_dev, x_dev, v_dev),
+            (x_map, y_map, my, mx, ny_i, nx_i, kx, ky),
+        )
+
+    def test_windowed_matches_onehot_and_scipy(self):
+        import jax
+        import jax.numpy as jnp
+        import scipy.interpolate
+
+        from planetmapper_tpu.ops import interp_device as idev
+        from planetmapper_tpu.ops.map_pallas import (
+            make_pallas_eval_windowed,
+        )
+
+        (plan, staged, c2, nanf, cleaned, devs, meta) = self._setup()
+        by, bx, aux, oyx, onyx, fits = staged
+        assert bool(fits)
+        ty, tx, y_dev, x_dev, v_dev = devs
+        x_map, y_map, my, mx, ny_i, nx_i, kx, ky = meta
+
+        ev = make_pallas_eval_windowed(plan, batched=False,
+                                       interpret=True)
+        got = np.asarray(jax.jit(lambda *a: ev(*a))(
+            c2, nanf, by, bx, aux, oyx, onyx
+        )).reshape(my, mx)
+
+        ev_ref = idev._make_onehot_eval(kx, ky, False, True, (my, mx))
+        ref = np.asarray(jax.jit(lambda *a: ev_ref(*a))(
+            jnp.asarray(ty), jnp.asarray(tx), c2, nanf,
+            y_dev, x_dev, v_dev,
+        )).reshape(my, mx)
+
+        # identical NaN semantics (valid/outside/4-neighbour tests)
+        assert (np.isnan(got) == np.isnan(ref)).all()
+        both = np.isfinite(got) & np.isfinite(ref)
+        assert both.any()
+        # scipy ground truth: the windowed path stages its basis in
+        # f64, so it lands ~1e-6 from scipy (the f32-basis one-hot
+        # reference is ~4e-5 at these coordinate magnitudes)
+        spl = scipy.interpolate.RectBivariateSpline(
+            np.arange(ny_i), np.arange(nx_i), np.asarray(cleaned),
+            kx=ky, ky=kx, s=0,
+        )
+        sv = spl.ev(
+            np.clip(y_map, 0, ny_i - 1), np.clip(x_map, 0, nx_i - 1)
+        )
+        assert np.abs(got[both] - sv[both]).max() < 5e-6
+        assert np.abs(got[both] - ref[both]).max() < 1e-4
+
+    def test_windowed_batched_cube(self):
+        import jax
+
+        from planetmapper_tpu.ops.map_pallas import (
+            make_pallas_eval_windowed,
+        )
+
+        (plan, staged, c2, nanf, _cleaned, _devs, meta) = self._setup()
+        by, bx, aux, oyx, onyx, fits = staged
+        my, mx = meta[2], meta[3]
+        cube_c2 = np.stack([np.asarray(c2), np.asarray(c2) * 2.0])
+        cube_nanf = np.stack([np.asarray(nanf), np.asarray(nanf)])
+        ev = make_pallas_eval_windowed(plan, batched=True,
+                                       interpret=True)
+        got = np.asarray(jax.jit(lambda *a: ev(*a))(
+            cube_c2, cube_nanf, by, bx, aux, oyx, onyx
+        )).reshape(2, my, mx)
+        both = np.isfinite(got[0])
+        np.testing.assert_allclose(
+            got[1][both], got[0][both] * 2.0, rtol=2e-6
+        )
+
+    def test_unfit_footprint_rejected(self):
+        # samples scattered across the whole source in one tile: no
+        # window covers the footprint, fits must come back False
+        import jax.numpy as jnp
+
+        from planetmapper_tpu.ops import interp_device as idev
+        from planetmapper_tpu.ops.map_pallas import (
+            WindowPlan,
+            stage_windowed,
+        )
+
+        rng = np.random.default_rng(1)
+        ny_i = nx_i = 300
+        my, mx = 32, 64  # one tile
+        x_map = rng.uniform(0, nx_i - 1, size=(my, mx))
+        y_map = rng.uniform(0, ny_i - 1, size=(my, mx))
+        kx = ky = 1
+        ty, tx, _, _ = idev._grid_spline_solver(ny_i, nx_i, kx, ky)
+        plan = WindowPlan(
+            kx=kx, ky=ky, propagate_nan=True, win=128,
+            tile_h=32, tile_w=64, my=my, mx=mx,
+            n_cy=ny_i, n_cx=nx_i, ny_i=ny_i, nx_i=nx_i,
+        )
+        *_, fits = stage_windowed(
+            plan, ty, tx,
+            jnp.asarray(y_map.ravel()), jnp.asarray(x_map.ravel()),
+            jnp.ones(my * mx, bool),
+        )
+        assert not bool(fits)
+
+
 @requires_tpu
 class TestDskOnTpu:
     """EFT arithmetic grade inside a real Mosaic kernel."""
@@ -356,7 +620,6 @@ class TestPallasPipelineParity:
             PLANE_ORDER,
             build_pallas_pipeline,
         )
-        from planetmapper_tpu.pipeline import compute_backplanes
 
         size = 512
         body = BodyXY(
@@ -364,7 +627,21 @@ class TestPallasPipelineParity:
             sz=size,
         )
         body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
-        ref = compute_backplanes(body, as_numpy=True)
+        # the ref must be the XLA mixed pipeline deterministically (the
+        # progressive compute_backplanes path may serve either impl)
+        from planetmapper_tpu.pipeline import select_pipeline_impl
+
+        ref_impl, ref_pallas = select_pipeline_impl(
+            body, size, size, use_pallas=False
+        )
+        assert not ref_pallas
+        ref = jax.jit(lambda *a: ref_impl(size, size, *a))(
+            np.asarray(body._get_xy2angular_matrix()),
+            np.asarray(body.get_disc_params(), dtype=np.float64),
+            np.asarray(body.radii, dtype=np.float64),
+            body._get_pipeline_anchors(),
+        )
+        ref = {k: np.asarray(v) for k, v in ref.items()}
         impl = build_pallas_pipeline(
             positive_west=body.positive_longitude_direction == 'W',
             prograde=body.prograde,
@@ -509,6 +786,11 @@ class TestShardedPallasPipeline:
         body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
         mesh = make_mesh(1, ('px',))
         out = sharded_backplanes(body, mesh)
+        from planetmapper_tpu.pipeline import wait_for_steady_state
+
+        # bit-identity needs the Mosaic kernel serving, not the
+        # progressive XLA first-path (which matches only to ~1e-6)
+        wait_for_steady_state(body)
         ref = compute_backplanes(body, as_numpy=True)
         for name, plane in ref.items():
             got = np.asarray(out[name])

@@ -81,6 +81,44 @@ def _compare(body):
         assert np.all(diff < tol), f'{name}: max excess {np.max(diff - tol)}'
 
 
+class TestAnchorSpec:
+    def test_abstract_spec_matches_real_anchors(self):
+        # The AOT precompile path (get_fused_pipeline) traces against
+        # this static spec so the pipeline compile can overlap the
+        # anchor computation on cold start; drift would silently waste
+        # that warmup (the jit path re-traces), so pin it here.
+        from planetmapper_tpu.pipeline import _anchor_abstract_spec
+
+        body = BodyXY(
+            'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00', sz=8
+        )
+        real = body._get_pipeline_anchors()
+        spec = _anchor_abstract_spec()
+        assert set(spec) == set(real)
+        for k, s in spec.items():
+            v = np.asarray(real[k])
+            assert v.shape == s.shape, k
+            assert v.dtype == s.dtype, k
+
+    def test_precompiled_matches_jit(self):
+        # the AOT executable and the jit path must produce the same
+        # program: precompile, call (served by the executable), then
+        # disable it and call again via jit - identical results
+        from planetmapper_tpu.pipeline import (
+            compute_backplanes,
+            get_fused_pipeline,
+        )
+
+        body = BodyXY('Jupiter', utc='2005-01-01', sz=16)
+        body.set_disc_params(8, 8, 6, 0.0)
+        out1 = compute_backplanes(body)  # cold path runs precompile
+        fn = get_fused_pipeline(body, 16, 16)
+        assert hasattr(fn, 'precompile')
+        out2 = compute_backplanes(body)
+        for k in out1:
+            np.testing.assert_array_equal(out1[k], out2[k], err_msg=k)
+
+
 class TestFusedPipeline:
     def test_matches_exact_hst(self):
         body = BodyXY(
