@@ -773,6 +773,38 @@ class TestShardedPallasPipeline:
         _, use_pallas = select_pipeline_impl(body, 256, 256)
         assert use_pallas
 
+    def test_progressive_swap_continuity(self):
+        # Cold sessions serve first calls from the XLA graph and swap
+        # to the Mosaic kernel when its background build lands; the
+        # swap must be value-continuous (~1e-5 grade, the XLA-vs-kernel
+        # parity bound) so a streaming consumer never sees a jump.
+        from planetmapper_tpu import BodyXY
+        from planetmapper_tpu.pipeline import (
+            compute_backplanes,
+            wait_for_steady_state,
+        )
+
+        size = 256
+        body = BodyXY(
+            'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00',
+            sz=size,
+        )
+        body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
+        early = compute_backplanes(body, as_numpy=True)
+        wait_for_steady_state(body)
+        steady = compute_backplanes(body, as_numpy=True)
+        for name in ('LON-GRAPHIC', 'EMISSION', 'RING-RADIUS', 'RA'):
+            a, b = early[name], steady[name]
+            assert (
+                np.isnan(a) != np.isnan(b)
+            ).sum() <= 8, f'{name}: mask flips across the swap'
+            both = np.isfinite(a) & np.isfinite(b)
+            d = np.abs(a[both] - b[both])
+            if 'LON' in name:
+                d = np.minimum(d, 360.0 - d)
+            tol = 1.0 if name == 'RING-RADIUS' else 1e-3
+            assert d.max() <= tol, f'{name}: {d.max():.2e}'
+
     def test_sharded_matches_single_chip(self):
         from planetmapper_tpu import BodyXY
         from planetmapper_tpu.parallel import make_mesh, sharded_backplanes
