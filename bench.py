@@ -342,17 +342,31 @@ def bench_time_batch(n_frames: int) -> dict:
     body.set_disc_params(size / 2, size / 2, size * 0.4, 0.0)
     ets = body.et + 60.0 * np.arange(n_frames)
     # warm with the same batch size (the vmapped program is shape-static)
-    backplane_time_series(body, ets, names=['EMISSION', 'LON-GRAPHIC'])
+    out = backplane_time_series(
+        body, ets, names=['EMISSION', 'LON-GRAPHIC'], as_numpy=False
+    )
+    sync = _make_sync(out)
+    sync(out)
+    # compute: device-resident result, completion proven by checksum
+    # (the full-cube device->host copy is ~20 MB and transport-bound
+    # through remote tunnels - measured separately below)
     t0 = time.time()
     out = backplane_time_series(
-        body, ets + 30.0, names=['EMISSION', 'LON-GRAPHIC']
+        body, ets + 30.0, names=['EMISSION', 'LON-GRAPHIC'],
+        as_numpy=False,
     )
+    sync(out)
     elapsed = time.time() - t0
     assert out['EMISSION'].shape == (n_frames, size, size)
+    t0 = time.time()
+    fetched = {k: np.asarray(v) for k, v in out.items()}
+    fetch_s = time.time() - t0
+    assert fetched['EMISSION'].shape == (n_frames, size, size)
     return {
         'cube_frames': n_frames,
         'cube_ms_per_frame': round(elapsed / n_frames * 1e3, 3),
         'cube_total_s': round(elapsed, 3),
+        'cube_fetch_s': round(fetch_s, 3),
     }
 
 

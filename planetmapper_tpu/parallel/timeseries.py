@@ -23,6 +23,7 @@ def backplane_time_series(
     names: Sequence[str] | None = None,
     *,
     mesh=None,
+    as_numpy: bool = True,
 ) -> dict[str, np.ndarray]:
     """
     Compute backplane images for a sequence of observation times.
@@ -35,6 +36,11 @@ def backplane_time_series(
         names: Backplane names to return (default: all default backplanes).
         mesh: Optional :func:`planetmapper_tpu.parallel.make_mesh` mesh; the
             time axis is sharded across its first axis.
+        as_numpy: Fetch results to host numpy (default). Pass False to
+            keep the cube device-resident - through remote-TPU
+            transports the device->host copy of a large cube can dwarf
+            the compute, so pipelines that keep consuming on device
+            (mapping, reductions) should leave it there.
 
     Returns:
         Dict of ``(n_times, ny, nx)`` arrays keyed by backplane name.
@@ -106,7 +112,9 @@ def backplane_time_series(
         _BATCHED_CACHE[key] = batched
 
     out = batched(xy2angular, anchors, disc, radii)
-    return jax.device_get(out)
+    if as_numpy:
+        return jax.device_get(out)
+    return out
 
 
 _BATCHED_CACHE: dict = {}
