@@ -720,6 +720,54 @@ class TestPallasMapEvalOnTpu:
             scale, 1.0
         )
 
+    def test_windowed_large_source_parity(self):
+        # The windowed Mosaic evaluator is the product default for
+        # sources past the plain kernel's 640 VMEM cap; execute it on
+        # hardware against the XLA tiled path. Map-like (smooth)
+        # coordinate fields keep per-tile footprints inside the window.
+        import os
+
+        from planetmapper_tpu.ops import interp_device
+        from planetmapper_tpu.ops.map_pallas import pallas_map_supported
+
+        n = 704  # past the plain-kernel gate
+        assert not pallas_map_supported(1, 1, n, n, n, n)
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(n, n))
+        img[100:104, 200:205] = np.nan
+        my, mx = 96, 192
+        yy, xx = np.meshgrid(
+            np.linspace(3, n - 4, my), np.linspace(3, n - 4, mx),
+            indexing='ij',
+        )
+        x = xx + 5 * np.sin(yy / 40.0)
+        y = yy + 4 * np.cos(xx / 60.0)
+        out = np.asarray(interp_device.spline_interpolation_device(
+            img, x, y, interpolation=3, warn_nan=False,
+            propagate_nan=True, spline_smoothing=0, as_numpy=False,
+        ))
+        # the staging must have accepted the map (otherwise this test
+        # silently compares XLA with itself)
+        key_hits = [
+            k for k in interp_device._WINDOWED_CACHE
+            if interp_device._WINDOWED_CACHE[k] is not None
+        ]
+        assert key_hits, 'windowed staging did not engage'
+        os.environ['PLANETMAPPER_TPU_MAP_PALLAS'] = '0'
+        try:
+            ref = np.asarray(interp_device.spline_interpolation_device(
+                img, x, y, interpolation=3, warn_nan=False,
+                propagate_nan=True, spline_smoothing=0, as_numpy=False,
+            ))
+        finally:
+            os.environ.pop('PLANETMAPPER_TPU_MAP_PALLAS')
+        assert np.array_equal(np.isnan(out), np.isnan(ref))
+        both = ~np.isnan(ref)
+        scale = np.nanmax(np.abs(ref))
+        assert np.max(np.abs(out[both] - ref[both])) < 5e-5 * max(
+            scale, 1.0
+        )
+
     def test_smooth_device_parity(self):
         # Windowed Mosaic 'smooth' sampler (f32 PCHIP) vs the XLA path
         # (f64 PCHIP): identical NaN mask; values within the f32
