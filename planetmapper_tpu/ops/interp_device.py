@@ -88,12 +88,16 @@ def _staged_windowed(x_map, y_map, ty, tx, kx: int, ky: int,
     )
     if key in _WINDOWED_CACHE:
         hit = _WINDOWED_CACHE[key]
-        return None if hit is None else hit[:6]
+        # entries always end with the (x_map, y_map) pair that pins
+        # the data pointers in `key` - including unfit (staged=None)
+        # entries, else a later array reusing the address would
+        # false-hit the cached verdict
+        return hit[0]
     from .map_pallas import _WIN_SIDES, WindowPlan, stage_windowed
 
     my, mx = x_map.shape
     x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
-    entry = None
+    staged = None
     for win in _WIN_SIDES:
         plan = WindowPlan(
             kx=kx, ky=ky, propagate_nan=propagate_nan, win=win,
@@ -104,12 +108,12 @@ def _staged_windowed(x_map, y_map, ty, tx, kx: int, ky: int,
             plan, ty, tx, y_dev, x_dev, valid_dev
         )
         if bool(fits):  # one host sync per (map, spline, window) config
-            entry = (by, bx, aux, oyx, onyx, plan, x_map, y_map)
+            staged = (by, bx, aux, oyx, onyx, plan)
             break
     if len(_WINDOWED_CACHE) >= _WINDOWED_CACHE_MAX:
         _WINDOWED_CACHE.pop(next(iter(_WINDOWED_CACHE)))
-    _WINDOWED_CACHE[key] = entry
-    return None if entry is None else entry[:6]
+    _WINDOWED_CACHE[key] = (staged, x_map, y_map)
+    return staged
 
 
 def _device_xy(x_map: np.ndarray, y_map: np.ndarray):

@@ -749,8 +749,8 @@ class TestPallasMapEvalOnTpu:
         # the staging must have accepted the map (otherwise this test
         # silently compares XLA with itself)
         key_hits = [
-            k for k in interp_device._WINDOWED_CACHE
-            if interp_device._WINDOWED_CACHE[k] is not None
+            k for k, v in interp_device._WINDOWED_CACHE.items()
+            if v[0] is not None
         ]
         assert key_hits, 'windowed staging did not engage'
         os.environ['PLANETMAPPER_TPU_MAP_PALLAS'] = '0'
