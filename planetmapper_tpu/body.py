@@ -196,6 +196,24 @@ class _LazyFormattingDict(dict):
         self._materialise()
         return dict.__contains__(self, key)
 
+    def __len__(self):  # also covers bool()
+        self._materialise()
+        return dict.__len__(self)
+
+    def __eq__(self, other):
+        self._materialise()
+        return dict.__eq__(self, other)
+
+    __hash__ = None  # type: ignore[assignment]  # dicts are unhashable
+
+    def __repr__(self):
+        self._materialise()
+        return dict.__repr__(self)
+
+    def copy(self):
+        self._materialise()
+        return dict(self)
+
 
 DEFAULT_WIREFRAME_FORMATTING: dict = _LazyFormattingDict()
 

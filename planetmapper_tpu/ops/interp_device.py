@@ -256,6 +256,14 @@ def _weight_matrix(jnp, basis, i, k: int, n_c: int):
 #: bandwidth-bound; fall back to the gather evaluator.
 _ONEHOT_MAX_COEFFS = 1024
 
+#: largest source side served by the fully device-resident s=0 branch
+#: (one-time host inversion of the dense collocation matrices: ~seconds
+#: at 2048, prohibitive past it). The windowed Mosaic evaluator and the
+#: tiled one-hot contraction both handle grids this size, so 2048-class
+#: navigated observations map at kernel speed instead of falling to the
+#: host-FITPACK path.
+_DEVICE_SOLVE_MAX = 2048
+
 #: Tiled-window sampling (same scheme as ops/pchip_device.py): 2D maps
 #: are cut into _TILE x _TILE point tiles whose samples hit a localized
 #: patch of the coefficient grid, so the one-hot contractions run
@@ -857,7 +865,7 @@ def spline_interpolation_device(
     x_dev, y_dev, valid_dev = _device_xy(x_map, y_map)
 
     ny_i, nx_i = img.shape[-2:]
-    if spline_smoothing == 0 and max(ny_i, nx_i) <= _ONEHOT_MAX_COEFFS:
+    if spline_smoothing == 0 and max(ny_i, nx_i) <= _DEVICE_SOLVE_MAX:
         # Fully device-resident path (s=0, the default): NaN infill,
         # coefficient solve and evaluation in ONE jitted program; the only
         # per-call upload is the raw frame. The host-FITPACK path below

@@ -12,7 +12,7 @@ optionally sharded over the mesh 'data' axis for multi-chip scaling.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Any, Iterable, Sequence
 
 import numpy as np
 
@@ -24,7 +24,7 @@ def backplane_time_series(
     *,
     mesh=None,
     as_numpy: bool = True,
-) -> dict[str, np.ndarray]:
+) -> dict[str, Any]:
     """
     Compute backplane images for a sequence of observation times.
 

@@ -1494,6 +1494,15 @@ def select_pipeline_impl(body, nx_b: int, ny_b: int,
 
             use_pallas = pallas_pipeline_supported(nx_b, ny_b)
     if use_pallas:
+        if geodetic_iters is None:
+            # a forced kernel path must refuse rather than silently run
+            # 0 Bowring iterations on a shape whose surface points sit
+            # inside the evolute (garbage graphic latitudes)
+            raise ValueError(
+                'the Mosaic kernel cannot hold the geodetic error '
+                'budget for this body shape (middle axis inside the '
+                'evolute margin); use the XLA path (use_pallas=False)'
+            )
         from .ops.pallas_pipeline import build_pallas_pipeline
 
         impl = build_pallas_pipeline(
@@ -1507,7 +1516,7 @@ def select_pipeline_impl(body, nx_b: int, ny_b: int,
             ),
             planes=planes,
             interpret=interpret,
-            geodetic_iters=geodetic_iters or 0,
+            geodetic_iters=geodetic_iters,
         )
     else:
         impl = fused_backplanes_fn(
@@ -1726,8 +1735,12 @@ def get_fused_pipeline(body, nx: int, ny: int,
                 out = compiled_m(*dummy)
                 float(np.asarray(out['__CHECKSUM__']))
                 state['steady'] = compiled_m
-            except Exception:
-                pass  # keep serving the first-path program
+            except Exception as exc:
+                # keep serving the first-path program, but remember the
+                # failure: wait_steady() surfaces it so kernel-pinned
+                # callers (bench, bit-exactness tests) don't silently
+                # measure the XLA path believing the kernel serves
+                state['steady_error'] = exc
 
         import threading
 
@@ -1763,6 +1776,14 @@ def get_fused_pipeline(body, nx: int, ny: int,
             th = state['thread']
             if th is not None:
                 th.join(timeout)
+            err = state.get('steady_error')
+            if err is not None:
+                from .exceptions import warn
+
+                warn(
+                    'steady-state kernel build failed; calls continue '
+                    f'on the XLA path ({type(err).__name__}: {err})'
+                )
 
         fn.precompile = precompile
         fn.wait_steady = wait_steady
@@ -1783,17 +1804,29 @@ def get_fused_pipeline(body, nx: int, ny: int,
     return sliced
 
 
-def wait_for_steady_state(body, timeout: float | None = None) -> None:
+def wait_for_steady_state(
+    body, timeout: float | None = None,
+    names: tuple[str, ...] | list[str] | None = None,
+) -> None:
     """
     Block until the steady-state (Mosaic) kernel serves
     :func:`compute_backplanes` for this body's configuration. On cold
     TPU sessions the first calls are served by the XLA graph while the
     kernel compiles in the background (see :func:`get_fused_pipeline`);
     benchmarks and bit-exactness tests call this to pin the kernel
-    path. No-op on CPU or when the kernel is already serving.
+    path. No-op on CPU or when the kernel is already serving; warns if
+    the kernel build failed (calls then stay on the XLA path).
+
+    ``names`` must match the subset passed to ``compute_backplanes`` -
+    each distinct subset is its own pipeline (and its own background
+    kernel build); waiting on the full set would build and pin an
+    unrelated program.
     """
     nx, ny = body.get_img_size()
-    fn = get_fused_pipeline(body, nx, ny)
+    fn = get_fused_pipeline(
+        body, nx, ny,
+        planes=None if names is None else tuple(names),
+    )
     waiter = getattr(fn, 'wait_steady', None)
     if waiter is not None:
         waiter(timeout)

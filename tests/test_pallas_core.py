@@ -306,6 +306,17 @@ class TestTriaxialKernel:
         # pathological: middle axis deep inside the evolute reach
         assert _kernel_geodetic_iters(Fake([1000, 400, 300])) is None
 
+    def test_forced_pallas_refuses_pathological_shape(self):
+        # a forced kernel path must refuse rather than silently run 0
+        # Bowring iterations (garbage graphic latitudes)
+        from planetmapper_tpu.pipeline import select_pipeline_impl
+
+        class Fake:
+            radii = np.asarray([1000.0, 400.0, 300.0])
+
+        with pytest.raises(ValueError, match='evolute'):
+            select_pipeline_impl(Fake(), 128, 64, use_pallas=True)
+
     def test_kernel_matches_robust_xla(self):
         import jax
 

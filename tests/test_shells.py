@@ -464,6 +464,14 @@ class TestWireframeContract:
         dict.__setitem__(d4, 'grid', {'color': 'r'})
         assert d4.get('grid') == {'color': 'r'}
         assert d4.get('limb', {}).get('linewidth') == 0.5
+        # len/bool/copy/eq/repr are reads too
+        d5 = _LazyFormattingDict()
+        assert len(d5) > 0 and bool(d5)
+        d6 = _LazyFormattingDict()
+        c = d6.copy()
+        assert isinstance(c, dict) and c.get('grid', {}) != {}
+        d7 = _LazyFormattingDict()
+        assert 'grid' in repr(d7)
 
     def test_xy_wireframe_artists_carry_transform(self, observation):
         # Regression companion: the xy wireframe's artists must use the
@@ -807,6 +815,40 @@ class TestProjections:
 
 class TestDeviceInterp:
     """Device map-interpolation kernels vs scipy ground truth."""
+
+    def test_large_source_stays_on_device_path(self):
+        # sources past the old 1024 gate (up to _DEVICE_SOLVE_MAX) run
+        # the device-resident solve + tiled/windowed evaluation instead
+        # of falling to host FITPACK; values must still match scipy
+        import scipy.interpolate
+
+        from planetmapper_tpu.ops import interp_device
+
+        assert interp_device._DEVICE_SOLVE_MAX >= 2048
+        n = 1100
+        rng = np.random.default_rng(5)
+        img = rng.normal(size=(n, n))
+        my, mx = 48, 64
+        yy, xx = np.meshgrid(
+            np.linspace(2, n - 3, my), np.linspace(2, n - 3, mx),
+            indexing='ij',
+        )
+        x = xx + 2 * np.sin(yy / 50.0)
+        y = yy + 3 * np.cos(xx / 70.0)
+        out = interp_device.spline_interpolation_device(
+            img, x, y, interpolation=1, warn_nan=False,
+            propagate_nan=False, spline_smoothing=0,
+        )
+        sp = scipy.interpolate.RectBivariateSpline(
+            np.arange(n), np.arange(n), img, kx=1, ky=1, s=0
+        )
+        ref = sp.ev(y.ravel(), x.ravel()).reshape(x.shape)
+        # ~1.6e-4: the f32 basis's coordinate cancellation at ~1100-px
+        # magnitudes (grows linearly with grid size; the small-map
+        # chunked evaluator has no f64 re-centring). Measured identical
+        # on the pre-gate host-FITPACK path - not a regression, just
+        # the f32 evaluation noise floor at this size.
+        np.testing.assert_allclose(out, ref, atol=5e-4)
 
     def test_out_of_grid_clamps_like_scipy(self):
         import scipy.interpolate
