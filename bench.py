@@ -74,14 +74,16 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
     body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
     setup_time = time.time() - t_setup0
 
-    sync = None
-
     def run():
-        nonlocal sync
-        out = compute_backplanes(body, as_numpy=False)
-        if sync is None:
-            sync = _make_sync(out)
-        sync(out)
+        # completion via the checksum computed INSIDE the fused program:
+        # a separate reduce program would compile through the (shared)
+        # remote compile service right after the first call kicks off
+        # the background steady-kernel build, and queue behind it -
+        # adding the whole kernel build to the measured warmup
+        out, cs = compute_backplanes(
+            body, as_numpy=False, with_checksum=True
+        )
+        float(cs)
         return out
 
     t_compile0 = time.time()

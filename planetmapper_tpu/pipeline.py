@@ -1644,10 +1644,10 @@ def get_fused_pipeline(body, nx: int, ny: int,
                 return out
             return {k: out[k] for k in planes if k in out}
 
-        def make_wrapped(impl_, pallas_):
+        def make_wrapped(impl_, pallas_, band_rows_):
             # Row-band tiling applies to the XLA impl only: the Pallas
             # impl tiles internally (its own grid)
-            if not tiled or pallas_:
+            if band_rows_ is None or pallas_:
                 def wrapped(xy2angular, disc, radii, anchors):
                     out = keep(
                         impl_(nx_b, ny_b, xy2angular, disc, radii, anchors)
@@ -1657,13 +1657,13 @@ def get_fused_pipeline(body, nx: int, ny: int,
             else:
                 from jax import lax
 
-                n_bands = ny_b // band_rows
+                n_bands = ny_b // band_rows_
 
                 def wrapped(xy2angular, disc, radii, anchors):
                     def band(i):
-                        row0 = (i * band_rows).astype(jnp.float64)
+                        row0 = (i * band_rows_).astype(jnp.float64)
                         return keep(impl_(
-                            nx_b, band_rows, xy2angular, disc, radii,
+                            nx_b, band_rows_, xy2angular, disc, radii,
                             anchors, row0=row0,
                         ))
 
@@ -1675,9 +1675,24 @@ def get_fused_pipeline(body, nx: int, ny: int,
                     return out
             return wrapped
 
-        wrapped_steady = make_wrapped(impl, use_pallas)
+        wrapped_steady = make_wrapped(
+            impl, use_pallas, band_rows if tiled else None
+        )
+        # The first-serving program optimises COMPILE time, not run
+        # time (it serves for under a minute). Small (untiled) shapes
+        # band at 64 rows: an untiled 256-class fused graph compiles in
+        # ~70 s, the banded form in half that. Tiled shapes KEEP the
+        # normal band size - measured: a 32-band (64-row) 2048 program
+        # took ~6 minutes to compile where the 8-band (256-row) form
+        # takes ~35 s.
+        if tiled:
+            band_first = band_rows
+        else:
+            band_first = (
+                64 if (ny_b % 64 == 0 and ny_b >= 128) else None
+            )
         wrapped_first = (
-            make_wrapped(impl_first, False) if progressive
+            make_wrapped(impl_first, False, band_first) if progressive
             else wrapped_steady
         )
         jfn = jax.jit(wrapped_first)
@@ -1769,7 +1784,22 @@ def get_fused_pipeline(body, nx: int, ny: int,
             # The compiled executable then serves all calls (same
             # program the jit path would build).
             if state['compiled'] is None:
-                state['compiled'] = jfn.lower(*_abstract_args()).compile()
+                low = jfn.lower(*_abstract_args())
+                if progressive:
+                    # the first-serving program is replaced by the
+                    # Mosaic kernel within a minute: compile speed
+                    # beats run speed here (measured 2.7x faster
+                    # compile, ~70 -> ~26 s at 2048)
+                    try:
+                        state['compiled'] = low.compile(
+                            compiler_options={
+                                'exec_time_optimization_effort': -1.0
+                            }
+                        )
+                        return
+                    except Exception:
+                        pass  # older XLA: fall through to default
+                state['compiled'] = low.compile()
 
         def wait_steady(timeout=None):
             _start_steady()
