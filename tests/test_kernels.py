@@ -55,6 +55,44 @@ class TestDaf:
             assert daf.nd == 2 and daf.ni == 6
             assert len(daf.summaries) >= 1
 
+    def test_native_matches_python_parser(self):
+        # The C++ fast path (native/daf_reader.cpp) serves by default,
+        # so every other kernel test exercises it - this is the only
+        # place the pure-Python parser (the no-compiler fallback) runs
+        # when the shared library exists, and the only direct proof the
+        # two parsers agree byte-for-byte.
+        from planetmapper_tpu.kernels import daf_native
+        from planetmapper_tpu.kernels.daf import read_daf_python
+
+        paths = sorted(
+            glob.glob(os.path.join(KERNEL_PATH, '**/*.bsp'), recursive=True)
+        )
+        native_checked = 0
+        for path in paths:
+            py = read_daf_python(path)
+            nat = daf_native.read_daf_native(path)
+            if nat is None:  # no compiler in this environment
+                continue
+            native_checked += 1
+            assert nat.idword == py.idword, path
+            assert (nat.nd, nat.ni) == (py.nd, py.ni), path
+            assert len(nat.summaries) == len(py.summaries), path
+            for a, b in zip(nat.summaries, py.summaries):
+                assert a.integers == b.integers, path
+                np.testing.assert_array_equal(
+                    np.asarray(a.doubles), np.asarray(b.doubles),
+                    err_msg=path,
+                )
+            # raw word array identity over sampled ranges (incl. the
+            # file tail, where record-boundary bugs would show)
+            n = py._data.size
+            for s, e in ((1, min(1024, n)), (max(1, n - 1023), n)):
+                np.testing.assert_array_equal(
+                    nat.words(s, e), py.words(s, e), err_msg=path
+                )
+        if daf_native.native_enabled() and daf_native._get_lib():
+            assert native_checked == len(paths)
+
 
 class TestTime:
     # Golden: reference tests/test_body.py:110
