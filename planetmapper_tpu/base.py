@@ -186,6 +186,14 @@ class SpiceBase:
                 kernel_path=kernel_path, manual_kernels=manual_kernels
             )
 
+        # Absorb the one-time TPU session init (a transport cost paid
+        # by the first post-work fetch, 10-130 s measured) concurrently
+        # with scene setup and compilation; no-op after the first call
+        # or on CPU (see _session_warm module docstring)
+        from ._session_warm import start_session_warm
+
+        start_session_warm()
+
     # -- infrastructure shared with the reference API ----------------------
     def __repr__(self) -> str:
         return self._generate_repr()

@@ -1729,10 +1729,10 @@ def get_fused_pipeline(body, nx: int, ny: int,
                     # fall back to the re-tracing jit path
                     state['compiled'] = None
                 else:
-                    _start_steady()
+                    _maybe_start_steady()
                     return out
             out = jfn(xy2angular, disc, radii, anchors)
-            _start_steady()
+            _maybe_start_steady()
             return out
 
         def _steady_build():  # runs on the background thread
@@ -1760,6 +1760,7 @@ def get_fused_pipeline(body, nx: int, ny: int,
         import threading
 
         start_lock = threading.Lock()
+        state['calls'] = 0
 
         def _start_steady():
             # deferred: first submit only the serving path's compile to
@@ -1777,29 +1778,29 @@ def get_fused_pipeline(body, nx: int, ny: int,
                 state['thread'] = th
                 th.start()
 
+        def _maybe_start_steady():
+            # from the THIRD call (or wait_steady): the build's ~13 s
+            # Python trace holds the GIL in bursts, delaying the first
+            # calls' result fetches by ~10 s if started immediately
+            state['calls'] += 1
+            if state['calls'] >= 3:
+                _start_steady()
+
         def precompile():
             # AOT trace+compile against the static anchor spec - no
             # anchor VALUES needed, so cold-start callers overlap this
             # with the scene-anchor computation (compute_backplanes).
             # The compiled executable then serves all calls (same
             # program the jit path would build).
+            # NOTE: compiling this with exec_time_optimization_effort=-1
+            # looked attractive (2.7x faster compile) but the resulting
+            # executable's FIRST execution through the remote transport
+            # was nondeterministically slow (0.1 s to ~130 s across
+            # identical cold runs - likely a server-side recompile when
+            # loading an executable with non-default options). Default
+            # options keep the first execution instant.
             if state['compiled'] is None:
-                low = jfn.lower(*_abstract_args())
-                if progressive:
-                    # the first-serving program is replaced by the
-                    # Mosaic kernel within a minute: compile speed
-                    # beats run speed here (measured 2.7x faster
-                    # compile, ~70 -> ~26 s at 2048)
-                    try:
-                        state['compiled'] = low.compile(
-                            compiler_options={
-                                'exec_time_optimization_effort': -1.0
-                            }
-                        )
-                        return
-                    except Exception:
-                        pass  # older XLA: fall through to default
-                state['compiled'] = low.compile()
+                state['compiled'] = jfn.lower(*_abstract_args()).compile()
 
         def wait_steady(timeout=None):
             _start_steady()
