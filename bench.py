@@ -72,6 +72,13 @@ def bench_backplanes(size: int, n_runs: int) -> dict:
         'Jupiter', observer='EARTH', utc='2005-01-01T00:00:00', sz=size
     )
     body.set_disc_params(size / 2, size / 2, size * 0.4, 12.3)
+    # the one-time transport/device session init (started on a thread at
+    # body construction; 10-130 s through remote tunnels, independent of
+    # any program) belongs to session establishment, not compile warmup -
+    # join it here so setup_s and warmup_s decompose honestly
+    from planetmapper_tpu._session_warm import wait_for_session
+
+    wait_for_session()
     setup_time = time.time() - t_setup0
 
     def run():

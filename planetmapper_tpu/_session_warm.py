@@ -71,3 +71,12 @@ def start_session_warm() -> None:
         daemon=True,
     )
     _thread.start()
+
+
+def wait_for_session(timeout: float | None = None) -> None:
+    """Block until the session warm (if started) completes. Callers
+    that time their own first computation (benchmarks) use this to
+    separate session establishment from compile/compute time."""
+    t = _thread
+    if t is not None:
+        t.join(timeout)
